@@ -1,0 +1,99 @@
+"""Exact tier vs brute-force oracle (SURVEY.md §7 step 2)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from deduplication_and_compression_spark.operators.assign import (
+    dedup_ratio, payload_bytes, savings,
+)
+from deduplication_and_compression_spark.operators.exact import (
+    exact_assignments, exact_pairs,
+)
+from tests.conftest import pairs_set, transitive_closure_pairs
+
+
+def brute_force_exact(images: pd.DataFrame) -> set[tuple[str, str]]:
+    groups: dict[tuple, list[str]] = {}
+    for r in images.itertuples():
+        groups.setdefault((bytes(r.bytes), r.caption), []).append(r.image_id)
+    out = set()
+    for ids in groups.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out.add((ids[i], ids[j]))
+    return out
+
+
+def test_exact_pairs_match_oracle(images_df, fixture_pdf):
+    images, _ = fixture_pdf
+    oracle = brute_force_exact(images)
+    got = pairs_set(exact_pairs(images_df).toPandas())
+    # engine emits star pairs (rep,member); closure must equal oracle closure
+    assert transitive_closure_pairs(got) == oracle
+    # and no false positives even before closure
+    assert got <= oracle
+
+
+def test_exact_assignments_first_occurrence_rule(images_df, fixture_pdf):
+    images, _ = fixture_pdf
+    asg = exact_assignments(images_df).toPandas()
+    assert len(asg) == len(images)
+    oracle = brute_force_exact(images)
+    closure = transitive_closure_pairs(oracle)
+    # representative = min image_id of its cluster
+    comp: dict[str, set[str]] = {}
+    for a, b in closure:
+        comp.setdefault(a, {a}).add(b)
+        comp.setdefault(b, {b}).add(a)
+    by_id = asg.set_index("image_id")
+    for iid, members in comp.items():
+        expect_rep = min(members | {iid})
+        assert by_id.loc[iid, "representative_id"] == expect_rep
+        assert by_id.loc[iid, "is_duplicate"] == (iid != expect_rep)
+    # caption equality within exact clusters (input_hint invariant)
+    cap = images.set_index("image_id")["caption"]
+    dups = asg[asg.is_duplicate]
+    assert all(cap[r.image_id] == cap[r.representative_id] for r in dups.itertuples())
+
+
+def test_savings_accounting(images_df, fixture_pdf):
+    images, _ = fixture_pdf
+    asg = exact_assignments(images_df)
+    pay = payload_bytes(images_df)
+    sav = savings(asg, pay).toPandas()
+    # oracle
+    sizes = {
+        r.image_id: len(bytes(r.bytes)) + len(r.caption.encode()) for r in images.itertuples()
+    }
+    asg_pdf = asg.toPandas()
+    import collections
+    agg = collections.defaultdict(lambda: [0, 0, None])
+    for r in asg_pdf.itertuples():
+        e = agg[r.cluster_id]
+        e[0] += 1
+        e[1] += sizes[r.image_id]
+        if not r.is_duplicate:
+            e[2] = sizes[r.image_id]
+    expect = {
+        cid: (m, bt, bt - rep) for cid, (m, bt, rep) in agg.items() if m > 1
+    }
+    got = {r.cluster_id: (r.members, r.bytes_total, r.bytes_saved) for r in sav.itertuples()}
+    assert got == expect
+    # global ratio row exists and is consistent
+    ratio = dedup_ratio(asg, pay).toPandas().iloc[0]
+    assert ratio.rows_total == len(images)
+    assert ratio.bytes_after_dedup + sum(
+        v[2] for v in expect.values()
+    ) == ratio.bytes_total
+
+
+def test_hot_cluster_present(fixture_pdf):
+    """The generator must plant a skew-exercising hot cluster (~5% of N)."""
+    images, truth = fixture_pdf
+    exact = truth[truth.tier == "exact"]
+    from collections import Counter
+    deg = Counter(exact["a"]).most_common(1)
+    assert deg and deg[0][1] >= 40  # hot rep paired with ≥40 members

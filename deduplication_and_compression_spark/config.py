@@ -24,7 +24,11 @@ class DedupConfig:
     lsh_bands: int = 32           # b bands ...
     lsh_rows: int = 4             # ... of r rows; b*r == num_perm
     minhash_seed: int = 0x5EED_CAFE
-    jaccard_threshold: float = 0.5
+    jaccard_threshold: float = 0.5  # detector: edge iff true Jaccard ≥ this
+    # fixture generator plants near-dup captions at ≥ this Jaccard, so the
+    # per-pair LSH hit probability 1-(1-J^r)^b is ≥ 0.998 and overall
+    # recall ≥ 0.99 is achievable by construction
+    plant_jaccard: float = 0.65
 
     # --- SimHash over phash-derived image features (§7 step 4) ---
     simhash_bits: int = 64

@@ -169,7 +169,7 @@ def generate_images(
         for _ in range(size - 1):
             for n_edits in (2, 1):
                 cand = _edit_caption(rng, vocab, base, n_edits)
-                if _jaccard(base, cand, cfg.shingle_k) > cfg.jaccard_threshold:
+                if _jaccard(base, cand, cfg.shingle_k) >= cfg.plant_jaccard:
                     break
             else:
                 cand = base

@@ -20,7 +20,11 @@ def assignments_from_labels(df: DataFrame, labels: DataFrame,
 
     labels carries only duplicate members, so it is typically tiny
     relative to df → Catalyst/AQE picks a broadcast join when it fits.
+    Accepts labels keyed either by ``id`` (connected_components output)
+    or already by ``id_col``.
     """
+    if "id" in labels.columns and id_col not in labels.columns:
+        labels = labels.withColumnRenamed("id", id_col)
     out = (
         df.select(id_col)
         .join(labels, id_col, "left")

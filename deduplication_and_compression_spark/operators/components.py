@@ -1,0 +1,99 @@
+"""Iterative connected components: alternating large-star / small-star
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14 — public algorithm), on plain DataFrames.
+
+Replaces the reference's global sequential dedup table
+(/root/reference/SHA_algorithm/SHA256.cpp:211-222: first occurrence
+becomes the group id) with an order-free equivalent: every component
+labeled by its MINIMUM member id, so "first-occurrence id" semantics
+survive without any global state.
+
+Scale notes: each round is two shuffles on node id; lineage is
+truncated every round with localCheckpoint (on a real cluster:
+reliable checkpoint to the Iceberg chk_ tables, see plans/pipeline).
+Converges in O(log² n) rounds; hot high-degree nodes (the star roots
+of big dup clusters) are exactly what large-star shrinks first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import DedupConfig, DEFAULT_CONFIG
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    return edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+
+
+def _large_star(E: DataFrame) -> DataFrame:
+    """Connect strictly-larger neighbors of u to min(Γ⁺(u))."""
+    m = E.groupBy("u").agg(F.min("v").alias("minv"))
+    m = m.select("u", F.least("u", "minv").alias("m"))
+    return (
+        E.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+
+
+def _small_star(E: DataFrame) -> DataFrame:
+    """Connect smaller-or-equal neighbors of u (and u itself) to min."""
+    Ele = E.where(F.col("v") <= F.col("u"))
+    m = Ele.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = Ele.join(m, "u").select(F.col("v").alias("a"), F.col("m").alias("b"))
+    selfe = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+    return nbrs.union(selfe).where(F.col("a") != F.col("b")).dropDuplicates()
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["c"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """edges(a,b) → labels(id, cluster_id=min member of component).
+
+    Only nodes appearing in edges are labeled (singletons are handled
+    downstream by assignments_from_labels' coalesce).
+    """
+    cur = (
+        edges.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(cfg.cc_max_iterations):
+        ls = _large_star(_symmetric(cur))
+        ss = _small_star(_symmetric(ls))
+        cur = (
+            ss.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .dropDuplicates()
+            .localCheckpoint()
+        )
+        sig = _checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: star graphs rooted at component minimum — but a node may
+    # still appear with multiple labels in pathological tie rounds; take min.
+    labels = (
+        _symmetric(cur)
+        .groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(F.col("u").alias("id"), F.least("u", "mv").alias("cluster_id"))
+    )
+    # roots label themselves; ensure every edge endpoint is present
+    return labels.dropDuplicates(["id"])

@@ -1,0 +1,155 @@
+"""MinHash-over-shingles + LSH banding tier (SURVEY.md §7 step 3).
+
+Replaces the reference's chunk→SHA-256→table-lookup loop
+(/root/reference/App/Host.cpp:254-340 chunking,
+/root/reference/Dedup/Dedup.cpp:10-29 lookup) for the NEAR-duplicate
+case the reference cannot express: captions that are similar but not
+byte-identical.
+
+Dataflow (all sizes are per 10^12-row scale reasoning):
+  1. signatures   narrow; one Arrow-batched pandas UDF, numpy inside
+                  (zero per-row Python) → array<long>[num_perm]
+  2. band keys    narrow; JVM-side xxhash64 over signature slices —
+                  no second Python hop
+  3. bucketing    wide; shuffle on (band_idx, band_hash) carrying only
+                  (id, key) pairs
+  4. pair-gen     skew-aware: per-bucket all-pairs for normal buckets,
+                  star-around-min-id for hot buckets (a hot LSH bucket
+                  at web scale is an exact-dup flood; star edges keep
+                  identical connected-component structure while
+                  emitting O(k) instead of O(k²))
+  5. verify       candidates joined back to captions; TRUE shingle
+                  Jaccard computed in an Arrow-batched UDF; edge iff
+                  J ≥ cfg.jaccard_threshold (false positives from LSH
+                  are dropped here, per FIXTURES.md invariant)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from ..config import DedupConfig, DEFAULT_CONFIG
+from ..functions import hashing as H
+
+
+def minhash_signatures(
+    df: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+) -> DataFrame:
+    """(id, sig: array<long>[num_perm]) — one vectorized UDF pass."""
+    k = cfg.shingle_k
+    seeds = H.make_seeds(cfg.num_perm, cfg.minhash_seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        mat = H.minhash_signatures_batch(texts.fillna("").tolist(), k, seeds)
+        return pd.Series(list(H.u64_to_i64(mat)))
+
+    return df.select(F.col(id_col).alias("id"), _sig(F.col(text_col)).alias("sig"))
+
+
+def band_keys(sig_df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(id, band_idx, band_hash) — JVM-side banding.
+
+    Each band hashes ``lsh_rows`` consecutive signature lanes with the
+    built-in xxhash64 (same family the reference vendors unused at
+    /root/reference/CDC/CDC.h:24-202).  posexplode keeps it one scan.
+    """
+    bands = [
+        F.xxhash64(F.lit(b), F.slice(F.col("sig"), b * cfg.lsh_rows + 1, cfg.lsh_rows))
+        for b in range(cfg.lsh_bands)
+    ]
+    # rows with no shingles (null/empty/shorter-than-k captions) carry the
+    # all-max sentinel signature (-1 in every int64 lane): they have no
+    # caption evidence and must NOT band together — at web scale the
+    # empty-caption flood would otherwise form one giant bogus bucket.
+    return sig_df.filter(F.col("sig")[0] != F.lit(-1)).select(
+        "id", F.posexplode(F.array(*bands)).alias("band_idx", "band_hash")
+    )
+
+
+def candidate_pairs_from_buckets(
+    bucketed: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    key_cols: tuple[str, ...] = ("band_idx", "band_hash"),
+) -> DataFrame:
+    """Generic skew-aware bucket → candidate (a,b) pair generation.
+
+    Used by both the LSH tier and the SimHash tier.  Buckets with
+    ≤ hot_bucket_threshold members emit all pairs via a self-join;
+    hotter buckets emit star pairs around the min id (connectivity-
+    preserving, linear).  AQE skew-join handles residual imbalance.
+    """
+    keys = [F.col(c) for c in key_cols]
+    sizes = bucketed.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_bsz"), F.min("id").alias("_bmin")
+    ).filter(F.col("_bsz") > 1)
+
+    tagged = bucketed.join(sizes, list(key_cols))
+
+    small = tagged.filter(F.col("_bsz") <= cfg.hot_bucket_threshold)
+    left = small.select(*keys, F.col("id").alias("a"))
+    right = small.select(*keys, F.col("id").alias("b"))
+    small_pairs = left.join(right, list(key_cols)).filter(F.col("a") < F.col("b"))
+
+    hot_pairs = (
+        tagged.filter(
+            (F.col("_bsz") > cfg.hot_bucket_threshold) & (F.col("id") != F.col("_bmin"))
+        )
+        .select(
+            F.least("id", "_bmin").alias("a"), F.greatest("id", "_bmin").alias("b")
+        )
+    )
+    return small_pairs.select("a", "b").union(hot_pairs).dropDuplicates(["a", "b"])
+
+
+def verify_jaccard(
+    candidates: DataFrame,
+    df: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+) -> DataFrame:
+    """Attach TRUE k-shingle Jaccard to candidate (a,b) pairs and keep
+    those ≥ cfg.jaccard_threshold.  Texts join in via two hash joins;
+    the similarity itself is one Arrow-batched UDF over the (small)
+    candidate set."""
+    k = cfg.shingle_k
+    texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_txt"))
+
+    @F.pandas_udf(T.DoubleType())
+    def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(ta.fillna(""), tb.fillna("")):
+            sa = set(H.char_kgram_hashes(x, k).tolist())
+            sb = set(H.char_kgram_hashes(y, k).tolist())
+            u = len(sa | sb)
+            # two contentless captions are NOT similarity evidence
+            out.append(len(sa & sb) / u if u else 0.0)
+        return pd.Series(out, dtype="float64")
+
+    joined = (
+        candidates.join(texts.withColumnRenamed("_tid", "a").withColumnRenamed("_txt", "_ta"), "a")
+        .join(texts.withColumnRenamed("_tid", "b").withColumnRenamed("_txt", "_tb"), "b")
+    )
+    return (
+        joined.withColumn("jaccard", _jac("_ta", "_tb"))
+        .filter(F.col("jaccard") >= F.lit(cfg.jaccard_threshold))
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_pairs(
+    df: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+) -> DataFrame:
+    """Full MinHash tier: (a, b, jaccard) verified near-dup pairs."""
+    sigs = minhash_signatures(df, cfg, id_col, text_col)
+    buckets = band_keys(sigs, cfg)
+    cands = candidate_pairs_from_buckets(buckets, cfg)
+    return verify_jaccard(cands, df, cfg, id_col, text_col)

@@ -1,0 +1,123 @@
+"""SimHash / phash Hamming-distance tier (SURVEY.md §7 step 4).
+
+Finds image near-duplicates: pairs whose 64-bit perceptual hash
+(``phash`` input column) differ in ≤ d bits.  The reference can only
+equate byte-identical chunks (/root/reference/Dedup/Dedup.cpp:16-22);
+this tier is the image analog of "similar but not identical".
+
+Scale design — generalized pigeonhole (Manku, Jain & Sarma, WWW'07,
+"Detecting Near-Duplicates for Web Crawling"): split the 64 bits into
+m blocks; any pair within Hamming distance d agrees on at least
+q = m - d whole blocks, so keying on every q-block combination
+(C(m, q) keys of q*64/m bits each) finds all such pairs exactly.
+With m=8, d=3 → C(8,5)=56 keys of 40 bits: at 10^12 rows the expected
+random bucket is small, and real-world phash skew (flat images →
+identical hashes) is exactly the hot-bucket case handled by
+candidate_pairs_from_buckets' star fallback + AQE skew join.
+
+Everything here is JVM-side bit arithmetic — no Python at all until
+(optionally) SimHash-from-features for text, which is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..config import DedupConfig, DEFAULT_CONFIG
+from ..functions import hashing as H
+from .minhash_lsh import candidate_pairs_from_buckets
+
+_NUM_BLOCKS = 8  # m; block width = 64/m = 8 bits
+
+
+def _block(col, i: int):
+    """Extract 8-bit block i of a 64-bit long, JVM-side."""
+    return F.shiftrightunsigned(col, i * 8).bitwiseAND(F.lit(0xFF))
+
+
+def hamming_block_keys(
+    df: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """(id, band_idx, band_hash): one row per q-block combination.
+
+    band_idx identifies the combination; band_hash packs the selected
+    blocks' values (xxhash64-mixed with the combination index so
+    different combinations never share buckets).
+    """
+    m, d = _NUM_BLOCKS, cfg.hamming_threshold
+    q = m - d
+    combos = list(combinations(range(m), q))
+    cols = []
+    for ci, combo in enumerate(combos):
+        packed = F.lit(0).cast("long")
+        for bi in combo:
+            packed = F.shiftleft(packed, 8) + _block(F.col(hash_col), bi)
+        cols.append(F.xxhash64(F.lit(ci), packed))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array(*cols)).alias("band_idx", "band_hash"),
+    )
+
+
+def verify_hamming(
+    candidates: DataFrame,
+    df: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Keep candidate (a,b) pairs with popcount(phash_a XOR phash_b) ≤ d.
+    Pure JVM: bit_count is a built-in in Spark 3.5+."""
+    ph = df.select(F.col(id_col).alias("_pid"), F.col(hash_col).alias("_ph"))
+    joined = (
+        candidates.join(ph.withColumnRenamed("_pid", "a").withColumnRenamed("_ph", "_pa"), "a")
+        .join(ph.withColumnRenamed("_pid", "b").withColumnRenamed("_ph", "_pb"), "b")
+    )
+    return (
+        joined.withColumn("hamming", F.bit_count(F.col("_pa").bitwiseXOR(F.col("_pb"))))
+        .filter(F.col("hamming") <= F.lit(cfg.hamming_threshold))
+        .select("a", "b", "hamming")
+    )
+
+
+def phash_hamming_pairs(
+    df: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Full image tier: (a, b, hamming) pairs with Hamming ≤ d.
+
+    Exact (no false negatives) for pairs within distance d, by the
+    pigeonhole guarantee; false positives pruned by verify_hamming.
+    """
+    keys = hamming_block_keys(df, cfg, id_col, hash_col)
+    cands = candidate_pairs_from_buckets(keys, cfg)
+    return verify_hamming(cands, df, cfg, id_col, hash_col)
+
+
+def simhash_from_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, simhash): classic Charikar SimHash over whitespace-token
+    features — Arrow-batched, numpy inside.  Used for the documents
+    table near-dup tier and exposed as a standalone function."""
+
+    @F.pandas_udf(T.LongType())
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = [
+            H.simhash_from_features(H.token_hashes(t or ""), bits=bits)
+            for t in texts
+        ]
+        return pd.Series(out, dtype="int64")
+
+    return df.select(F.col(id_col).alias("id"), _sh(F.col(text_col)).alias("simhash"))

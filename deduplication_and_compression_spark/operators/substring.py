@@ -1,0 +1,86 @@
+"""Exact-substring tier (SURVEY.md §7 step 5).
+
+(a, b) pairs whose captions share a verbatim run of ≥ L characters.
+
+Stage 1 (candidate gen, distributed): every row emits its winnowed
+fingerprint values (≈ len/w per row, NOT one per position — this is
+what keeps the fingerprint table ~1/8 the size of full L-gram
+explosion at 10^12 rows); shuffle on the fingerprint; bucket →
+candidate pairs via the shared skew-aware generator.
+
+Stage 2 (verify, Arrow-batched): suffix-array + LCP exact
+longest-common-substring ≥ L on each candidate pair; winnowing
+guarantees zero false negatives, this stage removes the false
+positives (shared g-gram shorter than L).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..config import DedupConfig, DEFAULT_CONFIG
+from ..functions.hashing import u64_to_i64
+from ..functions.text import lcs_length, winnow_fingerprints
+from .minhash_lsh import candidate_pairs_from_buckets
+
+
+def winnow_keys(
+    df: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+) -> DataFrame:
+    """(id, band_idx=0, band_hash=fingerprint) exploded fingerprint table."""
+    L = cfg.min_substring_len
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _fp(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [u64_to_i64(winnow_fingerprints(t or "", L)).tolist() for t in texts]
+        )
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.lit(0).alias("band_idx"),
+        F.explode(_fp(F.col(text_col))).alias("band_hash"),
+    )
+
+
+def verify_substring(
+    candidates: DataFrame,
+    df: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+) -> DataFrame:
+    """Keep candidate pairs with exact LCS ≥ L (suffix-array check)."""
+    L = cfg.min_substring_len
+    texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_txt"))
+
+    @F.pandas_udf(T.IntegerType())
+    def _lcs(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [lcs_length(x or "", y or "") for x, y in zip(ta, tb)], dtype="int32"
+        )
+
+    joined = (
+        candidates.join(texts.withColumnRenamed("_tid", "a").withColumnRenamed("_txt", "_ta"), "a")
+        .join(texts.withColumnRenamed("_tid", "b").withColumnRenamed("_txt", "_tb"), "b")
+    )
+    return (
+        joined.withColumn("lcs_len", _lcs("_ta", "_tb"))
+        .filter(F.col("lcs_len") >= F.lit(L))
+        .select("a", "b", "lcs_len")
+    )
+
+
+def substring_pairs(
+    df: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+) -> DataFrame:
+    keys = winnow_keys(df, cfg, id_col, text_col)
+    cands = candidate_pairs_from_buckets(keys, cfg)
+    return verify_substring(cands, df, cfg, id_col, text_col)

@@ -1,0 +1,150 @@
+"""Pipeline orchestration: signature → candidates → pairs → components
+→ assignments → savings, with per-stage checkpoint tables and resume.
+
+The reference's pipeline is compile-time-fixed thread topology
+(/root/reference/App/Host.cpp:254-340 spawning core_1/core_2); its only
+resumability is "re-run the whole stream".  Here every stage writes an
+idempotent checkpoint table (Iceberg when a catalog is configured;
+parquet fallback in this sandbox, see sources/tables.py) tagged with
+the config fingerprint, so any stage can resume mid-run
+(BASELINE.json north_rule) and a finished stage is never recomputed.
+
+Metrics mirror the reference's per-stage stopwatch report
+(/root/reference/App/Host.cpp:500-543): per-stage wall_ms, rows_out,
+plus per-partition row counts (lineage) for the key stages.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import DedupConfig, DEFAULT_CONFIG
+from ..operators.assign import (
+    assignments_from_labels, dedup_ratio, payload_bytes, savings,
+)
+from ..operators.components import connected_components
+from ..operators.exact import exact_pairs
+from ..operators.minhash_lsh import minhash_pairs
+from ..operators.pairs import union_pairs
+from ..operators.simhash import phash_hamming_pairs
+from ..operators.substring import substring_pairs
+
+ALL_TIERS = ("exact", "minhash", "simhash", "substring")
+
+
+@dataclass
+class PipelineResult:
+    assignments: DataFrame
+    savings: DataFrame
+    ratio: DataFrame
+    pairs: DataFrame
+    metrics: list[dict]
+
+
+class _Checkpointer:
+    def __init__(self, spark: SparkSession, out_dir: str | Path,
+                 cfg: DedupConfig, resume: bool):
+        self.spark = spark
+        self.out = Path(out_dir)
+        self.cfg_fp = cfg.fingerprint()
+        self.resume = resume
+        self.metrics: list[dict] = []
+
+    def _meta_path(self, stage: str) -> Path:
+        return self.out / f"chk_{stage}" / "_dedup_meta.json"
+
+    def _data_path(self, stage: str) -> Path:
+        return self.out / f"chk_{stage}" / "data"
+
+    def stage(self, name: str, fn: Callable[[], DataFrame],
+              lineage: bool = False) -> DataFrame:
+        """Run-or-resume one stage; always returns the checkpointed
+        (re-read) DataFrame so downstream lineage starts at the table."""
+        meta_p, data_p = self._meta_path(name), self._data_path(name)
+        if self.resume and meta_p.exists():
+            meta = json.loads(meta_p.read_text())
+            if meta.get("config_fp") == self.cfg_fp and meta.get("complete"):
+                self.metrics.append(
+                    {"stage": name, "partition_id": -1,
+                     "rows_out": meta["rows_out"], "wall_ms": 0.0,
+                     "resumed": True}
+                )
+                return self.spark.read.parquet(str(data_p))
+        t0 = time.perf_counter()
+        df = fn()
+        df.write.mode("overwrite").parquet(str(data_p))
+        out = self.spark.read.parquet(str(data_p))
+        rows = out.count()
+        wall_ms = (time.perf_counter() - t0) * 1000
+        self.metrics.append(
+            {"stage": name, "partition_id": -1, "rows_out": rows,
+             "wall_ms": wall_ms, "resumed": False}
+        )
+        if lineage:
+            for r in (
+                out.groupBy(F.spark_partition_id().alias("pid"))
+                .count().collect()
+            ):
+                self.metrics.append(
+                    {"stage": name, "partition_id": int(r["pid"]),
+                     "rows_out": int(r["count"]), "wall_ms": 0.0,
+                     "resumed": False}
+                )
+        meta_p.parent.mkdir(parents=True, exist_ok=True)
+        meta_p.write_text(json.dumps(
+            {"config_fp": self.cfg_fp, "rows_out": rows, "complete": True}
+        ))
+        return out
+
+    def write_metrics(self) -> None:
+        p = self.out / "metrics"
+        import pandas as pd
+        pdf = pd.DataFrame(self.metrics)
+        pdf["extra"] = ""
+        self.spark.createDataFrame(pdf).write.mode("append").parquet(str(p))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    images: DataFrame,
+    out_dir: str | Path,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    tiers: tuple[str, ...] = ALL_TIERS,
+    resume: bool = True,
+) -> PipelineResult:
+    ck = _Checkpointer(spark, out_dir, cfg, resume)
+
+    tier_dfs: dict[str, DataFrame] = {}
+    if "exact" in tiers:
+        tier_dfs["exact"] = ck.stage("pairs_exact", lambda: exact_pairs(images))
+    if "minhash" in tiers:
+        tier_dfs["minhash"] = ck.stage(
+            "pairs_minhash", lambda: minhash_pairs(images, cfg).select("a", "b")
+        )
+    if "simhash" in tiers:
+        tier_dfs["simhash"] = ck.stage(
+            "pairs_simhash", lambda: phash_hamming_pairs(images, cfg).select("a", "b")
+        )
+    if "substring" in tiers:
+        tier_dfs["substring"] = ck.stage(
+            "pairs_substring", lambda: substring_pairs(images, cfg).select("a", "b")
+        )
+
+    pairs = ck.stage("pairs_union", lambda: union_pairs(**tier_dfs), lineage=True)
+    labels = ck.stage(
+        "cc_labels", lambda: connected_components(pairs, cfg), lineage=True
+    )
+    asg = ck.stage(
+        "assignments", lambda: assignments_from_labels(images, labels), lineage=True
+    )
+    pay = payload_bytes(images)
+    sav = ck.stage("savings", lambda: savings(asg, pay))
+    ratio = dedup_ratio(asg, pay)
+    ck.write_metrics()
+    return PipelineResult(asg, sav, ratio, pairs, ck.metrics)

@@ -1,0 +1,95 @@
+"""Full-pipeline integration: recall, invariants, checkpoint/resume."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from deduplication_and_compression_spark.functions.images import (
+    decode_image, psnr_db,
+)
+from deduplication_and_compression_spark.plans.pipeline import run_pipeline
+from tests.conftest import pairs_set
+
+
+@pytest.fixture(scope="module")
+def pipe_result(spark, images_df, cfg, tmp_path_factory):
+    out = tmp_path_factory.mktemp("pipe")
+    return run_pipeline(spark, images_df, out, cfg), out
+
+
+def test_recall_vs_truth(pipe_result, truth_pairs):
+    """North-rule gate: dup-pair recall ≥ 0.99 vs planted truth."""
+    res, _ = pipe_result
+    lab = {r["image_id"]: r["cluster_id"] for r in res.assignments.collect()}
+    hits = sum(1 for r in truth_pairs.itertuples() if lab[r.a] == lab[r.b])
+    recall = hits / len(truth_pairs)
+    assert recall >= 0.99, f"overall recall {recall:.4f}"
+
+
+def test_representative_is_min_member(pipe_result):
+    res, _ = pipe_result
+    asg = res.assignments.toPandas()
+    gmin = asg.groupby("cluster_id")["image_id"].min()
+    assert (asg["cluster_id"] == asg["image_id"].map(lambda _: None).fillna(asg["cluster_id"])).all()
+    assert all(gmin[c] == c for c in asg["cluster_id"].unique())
+
+
+def test_pixel_psnr_invariant(pipe_result, fixture_pdf, cfg):
+    """Members of image-evidence clusters (exact/simhash pairs) decode to
+    pixel-close images: allclose for lossless, PSNR ≥ 40 dB for lossy —
+    the decoder-as-oracle analog (/root/reference/Decoder/Decoder.cpp)."""
+    res, _ = pipe_result
+    images, _ = fixture_pdf
+    by_id = images.set_index("image_id")
+    checked = 0
+    for r in res.pairs.filter("tier in ('exact','simhash')").limit(300).collect():
+        pa = decode_image(by_id.loc[r["a"], "bytes"])
+        pb = decode_image(by_id.loc[r["b"], "bytes"])
+        if pa.shape != pb.shape:
+            continue  # simhash pairs may differ in dims; phash is size-invariant
+        p = psnr_db(pa, pb)
+        assert p >= cfg.psnr_threshold_db or np.allclose(pa, pb), (
+            f"pair {r['a']},{r['b']} tier={r['tier']} PSNR={p:.1f}"
+        )
+        checked += 1
+    assert checked > 50
+
+
+def test_caption_equality_in_exact_clusters(pipe_result, fixture_pdf):
+    res, _ = pipe_result
+    images, _ = fixture_pdf
+    cap = images.set_index("image_id")["caption"]
+    for r in res.pairs.filter("tier = 'exact'").collect():
+        assert cap[r["a"]] == cap[r["b"]]
+
+
+def test_resume_equals_single_shot(spark, images_df, cfg, pipe_result):
+    """Second run over the same checkpoint dir must recompute nothing and
+    produce identical assignments."""
+    res1, out = pipe_result
+    res2 = run_pipeline(spark, images_df, out, cfg)
+    top_level = [m for m in res2.metrics if m["partition_id"] == -1]
+    assert top_level and all(m["resumed"] for m in top_level), res2.metrics
+    a1 = res1.assignments.toPandas().sort_values("image_id").reset_index(drop=True)
+    a2 = res2.assignments.toPandas().sort_values("image_id").reset_index(drop=True)
+    assert a1.equals(a2)
+
+
+def test_resume_invalidated_by_config_change(spark, images_df, cfg, pipe_result):
+    """A different config fingerprint must NOT reuse checkpoints."""
+    from dataclasses import replace
+    _, out = pipe_result
+    cfg2 = replace(cfg, hamming_threshold=2, simhash_chunks=3)
+    res = run_pipeline(spark, images_df, out, cfg2, tiers=("exact",))
+    stage_m = [m for m in res.metrics if m["stage"] == "pairs_exact"]
+    assert not stage_m[0]["resumed"]
+
+
+def test_metrics_lineage_written(pipe_result, spark):
+    _, out = pipe_result
+    m = spark.read.parquet(str(out / "metrics"))
+    stages = {r["stage"] for r in m.select("stage").distinct().collect()}
+    assert {"pairs_union", "cc_labels", "assignments"} <= stages
+    # per-partition lineage rows exist
+    assert m.filter("partition_id >= 0").count() > 0

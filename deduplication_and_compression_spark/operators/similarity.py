@@ -1,0 +1,129 @@
+"""Embedding similarity search over an array<float> column.
+
+Baseline: brute-force cosine (JVM higher-order functions — zero
+Python).  Scale path: sign-random-projection LSH (Charikar 2002)
+bucketing so each query only scans its bucket — the same
+band/bucket/verify shape as the MinHash tier.
+
+At 10^12 rows brute-force is O(n·q); SRP-LSH with b-bit codes cuts the
+candidate set by ~2^b for near-neighbor workloads, and the bucket join
+shuffles (bucket_key, id, vec) only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.hashing import make_seeds, splitmix64
+from ..functions.vectors import cosine
+
+
+def cosine_neighbor_stats(
+    emb: DataFrame,
+    n_queries: int = 20,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For each of the first ``n_queries`` ids: count + floor-bp mean
+    cosine of neighbors with cos ≥ threshold (self excluded).
+    Deterministic → oracle-comparable."""
+    q = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    joined = F.broadcast(q).crossJoin(
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    )
+    scored = joined.where(F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "cos", cosine(F.col("qv"), F.col("nv"))
+    )
+    return (
+        scored.where(F.col("cos") >= threshold)
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.floor(F.avg("cos") * 10000.0).cast("long").alias("avg_cos_bp"),
+        )
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cos, rank): exact top-k by cosine.
+    queries defaults to the whole table (all-pairs top-k)."""
+    if queries is None:
+        queries = emb
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    n = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        F.broadcast(q).crossJoin(n)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def srp_bucket_topk(
+    emb: DataFrame,
+    n_bits: int = 8,
+    k: int = 10,
+    seed: int = 0xB17_5EED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: sign-random-projection bucket, then exact
+    cosine within bucket.  The hyperplanes are derived deterministically
+    from the seed (no Date.now/random state) and evaluated JVM-side as
+    a literal-array dot product per bit."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+
+    def code_col(vc):
+        bits = []
+        for i in range(n_bits):
+            lit = F.array(*[F.lit(float(x)) for x in planes[i]])
+            d = F.aggregate(
+                F.zip_with(vc, lit, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        out = F.lit(0)
+        for b in bits:
+            out = out + b
+        return out
+
+    coded = emb.select(
+        F.col(id_col), F.col(vec_col), code_col(F.col(vec_col)).alias("bucket")
+    )
+    left = coded.select(
+        F.col("bucket"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    right = coded.select(
+        F.col("bucket"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    scored = (
+        left.join(right, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

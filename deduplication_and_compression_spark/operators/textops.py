@@ -1,0 +1,154 @@
+"""Document-table text operators: the training-data-pipeline ops
+(dedup variants, token counting, quality scoring, language ID,
+fingerprinting, n-gram similarity) expressed as pure DataFrame plans —
+every one of these stays inside whole-stage codegen (no Python UDFs),
+so filters and projections push down to the parquet scan.
+
+Each operator has a matching ANSI-SQL oracle in __spark_entry__.py;
+column names and arithmetic ORDER are kept identical on both sides so
+the driver's value-hash comparison is bit-stable (ratios are floored
+to basis points rather than rounded, dodging round-half divergence
+between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+STOPWORDS = ("a", "the", "of", "and", "to", "in", "is")
+
+
+def _tokens(text_col: str = "text"):
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def exact_dedup_docs(df: DataFrame) -> DataFrame:
+    """(doc_id, content_hash, rep_id, is_duplicate): md5-exact dedup,
+    representative = min doc_id per hash group (the reference's
+    first-occurrence rule, /root/reference/Dedup/Dedup.cpp:10-29)."""
+    h = F.md5(F.col("text"))
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select(F.col("doc_id"), h.alias("content_hash"))
+        .withColumn("rep_id", F.min("doc_id").over(w))
+        .withColumn("is_duplicate", F.col("doc_id") != F.col("rep_id"))
+        .select("doc_id", "content_hash", "rep_id", "is_duplicate")
+    )
+
+
+def token_counts(df: DataFrame) -> DataFrame:
+    t = _tokens()
+    return df.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+    )
+
+
+def quality_scores(df: DataFrame) -> DataFrame:
+    """Length/stopword/diversity heuristic quality score in [0,1]."""
+    t = _tokens()
+    n_tok = F.size(t).cast("double")
+    n_stop = F.size(F.filter(t, lambda w: w.isin(*STOPWORDS))).cast("double")
+    n_dis = F.size(F.array_distinct(t)).cast("double")
+    stop_ratio = n_stop / n_tok
+    diversity = n_dis / n_tok
+    quality = F.least(F.lit(1.0), n_tok / F.lit(100.0)) * (F.lit(1.0) - stop_ratio) * diversity
+    bp = lambda c: F.floor(c * F.lit(10000.0)).cast("long")
+    return df.select(
+        "doc_id",
+        F.length("text").alias("text_chars"),
+        bp(stop_ratio).alias("stopword_bp"),
+        bp(diversity).alias("diversity_bp"),
+        bp(quality).alias("quality_bp"),
+    )
+
+
+def lang_id(df: DataFrame) -> DataFrame:
+    """Stopword-density language guess (en vs unk) — the cheap n-gram
+    heuristic tier of a web-scale pipeline; real models slot in as a
+    pandas UDF behind the same column contract."""
+    t = _tokens()
+    score = F.size(F.filter(t, lambda w: w.isin(*STOPWORDS))).cast("double") / F.size(t).cast("double")
+    return df.select(
+        "doc_id",
+        F.floor(score * F.lit(10000.0)).cast("long").alias("stop_density_bp"),
+        F.when(score >= 0.02, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+    )
+
+
+def doc_fingerprints(df: DataFrame) -> DataFrame:
+    """(doc_id, fp): SHA-256 of whitespace-normalized lowercased text —
+    the content-defined fingerprint analog of the reference's per-chunk
+    SHA-256 (/root/reference/SHA_algorithm/SHA256.cpp:176-223)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return df.select("doc_id", F.sha2(F.encode(norm, "UTF-8"), 256).alias("fp"))
+
+
+def word_bigrams(df: DataFrame) -> DataFrame:
+    """(doc_id, bigram) distinct word bigrams — shingling at word
+    granularity (the reference's chunking analog at
+    /root/reference/App/Host.cpp:254-340, re-expressed set-wise)."""
+    t = _tokens()
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    # Spark's sequence(1, 0) is DESCENDING, not empty — guard short texts
+    bg = F.when(F.size(t) >= 2, bg).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        "doc_id", F.explode(F.array_distinct(bg)).alias("bigram")
+    )
+
+
+def bigram_jaccard_pairs(df: DataFrame, threshold_bp: int = 5000) -> DataFrame:
+    """(a, b, jaccard_bp): word-bigram Jaccard ≥ threshold, a<b.
+
+    One exploded bigram table, self-joined on the bigram (the shuffle
+    key), intersection counts aggregated, sizes joined back.  This is
+    the SQL-expressible twin of the MinHash tier — exact Jaccard, for
+    the oracle; MinHash approximates exactly this at scale.
+    """
+    bg = word_bigrams(df)
+    sizes = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        bg.alias("x")
+        .join(bg.alias("y"), "bigram")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+        .select(
+            "a", "b",
+            F.floor(
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+                * F.lit(10000.0)
+            ).cast("long").alias("jaccard_bp"),
+        )
+        .where(F.col("jaccard_bp") >= threshold_bp)
+    )
+
+
+def lgram_substring_pairs(df: DataFrame, L: int = 24) -> DataFrame:
+    """(a, b) doc pairs sharing a verbatim ≥L-char substring — the
+    SQL-expressible (all-positions) twin of the winnowed substring
+    tier: explode every L-gram, join on the gram.  Used as the oracle
+    bridge; the winnowed variant emits ~1/w as many grams at scale."""
+    t = F.col("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - F.lit(L - 1)),
+        lambda i: F.substring(t, i, L),
+    )
+    grams = F.when(F.length(t) >= L, grams).otherwise(F.array().cast("array<string>"))
+    g = df.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+    return (
+        g.alias("x")
+        .join(g.alias("y"), "gram")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .dropDuplicates()
+    )

@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline jobs at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries":
+{name: sec}, "sf", ...extras}.
+
+The flagship job is the full 4-tier image dedup pipeline over a
+deterministically synthesized images table in the BASELINE.json
+input_hint shape (image_id, bytes, w, h, fmt, caption, phash), sized
+proportionally to the scale factor and cached on disk across runs
+(generation is NOT timed).  images/sec over signature+cluster is the
+north-star throughput metric.
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+bench_scaling.py, which shells out to this file at two parallelism
+levels; results land in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from deduplication_and_compression_spark.config import DEFAULT_CONFIG as CFG
+from deduplication_and_compression_spark.fixtures.generator import write_fixture
+from deduplication_and_compression_spark.session import build_session
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def images_rows_for_sf(sf: float) -> int:
+    return max(1000, int(round(200_000 * sf)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_from_dir(sf_dir)
+    n_images = images_rows_for_sf(sf)
+
+    # fixture generation is cached and NOT part of the timed region
+    cache = Path(
+        os.environ.get("SPARK_GRAFT_BENCH_CACHE", str(REPO / ".bench_cache"))
+    ) / f"images_{n_images}_seed42_{CFG.fingerprint()}"
+    img_path, _ = write_fixture(cache, n_images, seed=42, cfg=CFG)
+
+    spark = build_session(
+        app_name="dedup-bench", cores=cpus, shuffle_partitions=max(cpus, 8)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from deduplication_and_compression_spark.plans.pipeline import run_pipeline
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # --- flagship: full image dedup pipeline (signature → cluster) ---
+    images = spark.read.parquet(str(img_path))
+    images = images.repartition(max(cpus, 8)).cache()
+    images.count()  # materialize cache outside the timed region
+    workdir = tempfile.mkdtemp(prefix="dedup_bench_")
+    try:
+        res = timed(
+            "image_pipeline",
+            lambda: run_pipeline(spark, images, workdir, CFG, resume=False),
+        )
+        n_dups = res.assignments.where("is_duplicate").count()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    # --- headline table queries from the driver contract ---
+    qs = entrymod.queries()
+    for name in (
+        "exact_dedup_docs",
+        "bigram_jaccard_pairs",
+        "cc_bigram_clusters",
+        "cosine_neighbor_stats",
+        "minhash_pairs_docs",
+        "srp_topk_embeddings",
+    ):
+        timed(name, lambda name=name: qs[name](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    images_per_sec = round(n_images / timings["image_pipeline"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_images": n_images,
+                "images_per_sec": images_per_sec,
+                "duplicates_found": n_dups,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -80,15 +80,21 @@ def _jaccard(a: str, b: str, k: int) -> float:
 
 
 def _base_pixels(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
-    fx, fy = rng.uniform(0.5, 4.0, size=2)
-    phase = rng.uniform(0, 2 * np.pi, size=3)
+    """Sum of 3 random-frequency plaids + noise: enough pattern entropy
+    that unrelated images land > hamming_threshold apart in phash space
+    even at 10^5+ rows (a single-sinusoid family caused massive
+    cross-image phash collisions at 20k rows)."""
     yy, xx = np.mgrid[0:h, 0:w]
-    img = np.empty((h, w, 3), dtype=np.float64)
-    for c in range(3):
-        img[:, :, c] = 127.5 + 110 * np.sin(
-            fx * xx / w * 2 * np.pi + fy * yy / h * 2 * np.pi + phase[c]
-        )
-    img += rng.normal(0, 12, size=img.shape)
+    img = np.full((h, w, 3), 127.5, dtype=np.float64)
+    for _ in range(3):
+        fx, fy = rng.uniform(0.5, 6.0, size=2)
+        phase = rng.uniform(0, 2 * np.pi, size=3)
+        amp = rng.uniform(25, 60)
+        for c in range(3):
+            img[:, :, c] += amp * np.sin(
+                fx * xx / w * 2 * np.pi + fy * yy / h * 2 * np.pi + phase[c]
+            )
+    img += rng.normal(0, 10, size=img.shape)
     return img.clip(0, 255).astype(np.uint8)
 
 
@@ -117,7 +123,10 @@ def generate_images(
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Returns (images_df, truth_pairs_df) as pandas DataFrames."""
     rng = np.random.default_rng(seed)
-    vocab = _make_vocab(rng)
+    # vocabulary grows with table size: a fixed vocab makes random
+    # captions measurably similar at 10^4+ rows, which is not how real
+    # web captions behave and melts everything into one cluster
+    vocab = _make_vocab(rng, n_words=max(420, n_rows // 4))
     fmts = ["raw", "png", "jpg"]
 
     # --- row plans: list of (caption, pixels, fmt) per cluster ---

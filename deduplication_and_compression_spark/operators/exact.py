@@ -41,8 +41,15 @@ def exact_pairs(df: DataFrame, id_col: str = "image_id",
     cluster of 10^6 members must NOT generate 10^12 pairs.  Star-shaped
     pairs carry identical clustering information into connected
     components.
+
+    The hash table is materialized (localCheckpoint) before reuse: it
+    feeds both the representative aggregation and the join-back, and
+    without materialization the SHA-256-over-bytes scan would run
+    twice — at 100 TB that is two full passes over the payload column.
     """
-    hashed = with_content_hash(df, cols).select("content_hash", id_col)
+    hashed = (
+        with_content_hash(df, cols).select("content_hash", id_col).localCheckpoint()
+    )
     reps = hashed.groupBy("content_hash").agg(
         F.min(id_col).alias("rep"), F.count(F.lit(1)).alias("members")
     ).filter(F.col("members") > 1)
@@ -63,7 +70,9 @@ def exact_assignments(df: DataFrame, id_col: str = "image_id",
     Mirrors the reference's output headers: unique chunk → payload,
     duplicate → reference to first occurrence
     (/root/reference/App/Host.cpp:174-190)."""
-    hashed = with_content_hash(df, cols).select("content_hash", id_col)
+    hashed = (
+        with_content_hash(df, cols).select("content_hash", id_col).localCheckpoint()
+    )
     reps = hashed.groupBy("content_hash").agg(F.min(id_col).alias("representative_id"))
     return (
         hashed.join(reps, "content_hash")

@@ -147,9 +147,50 @@ def minhash_pairs(
     cfg: DedupConfig = DEFAULT_CONFIG,
     id_col: str = "image_id",
     text_col: str = "caption",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
-    """Full MinHash tier: (a, b, jaccard) verified near-dup pairs."""
-    sigs = minhash_signatures(df, cfg, id_col, text_col)
+    """Full MinHash tier: (a, b, jaccard) verified near-dup pairs.
+
+    Pass a pre-materialized ``sigs`` (e.g. a checkpoint table) to avoid
+    recomputing the signature UDF in each branch of the candidate
+    generator — the plan reuses the bucket table three times (size agg,
+    tag join, hot filter), and an un-materialized UDF upstream would
+    run three times.
+    """
+    if sigs is None:
+        sigs = minhash_signatures(df, cfg, id_col, text_col).localCheckpoint()
     buckets = band_keys(sigs, cfg)
     cands = candidate_pairs_from_buckets(buckets, cfg)
+    cands = estimate_filter(cands, sigs, cfg)
     return verify_jaccard(cands, df, cfg, id_col, text_col)
+
+
+def estimate_filter(
+    candidates: DataFrame, sigs: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """JVM-side prefilter between LSH candidate generation and exact
+    verification: keep pairs whose signature lane-agreement (the
+    MinHash Jaccard estimator) is ≥ threshold − 3σ.
+
+    On densely-similar corpora LSH emits millions of mid-similarity
+    candidates; running the exact-Jaccard Python UDF on all of them is
+    the bottleneck.  The estimator is whole-stage-codegen arithmetic
+    over the two signature arrays, so this stage costs one join +
+    vectorized compare, and only near-threshold survivors reach
+    Python.  The 3σ slack keeps the false-negative probability per
+    true pair < 0.2% at J == threshold (and ~0 for pairs planted at
+    plant_jaccard), preserving the ≥0.99 recall budget.
+    """
+    t = cfg.jaccard_threshold
+    slack = 3.0 * (t * (1.0 - t) / cfg.num_perm) ** 0.5
+    s = sigs.select(F.col("id"), F.col("sig"))
+    joined = (
+        candidates.join(s.withColumnRenamed("id", "a").withColumnRenamed("sig", "_sa"), "a")
+        .join(s.withColumnRenamed("id", "b").withColumnRenamed("sig", "_sb"), "b")
+    )
+    est = F.aggregate(
+        F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.lit(float(cfg.num_perm))
+    return joined.where(est >= F.lit(t - slack)).select("a", "b")

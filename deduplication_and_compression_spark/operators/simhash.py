@@ -53,15 +53,21 @@ def hamming_block_keys(
     m, d = _NUM_BLOCKS, cfg.hamming_threshold
     q = m - d
     combos = list(combinations(range(m), q))
-    cols = []
-    for ci, combo in enumerate(combos):
-        packed = F.lit(0).cast("long")
-        for bi in combo:
-            packed = F.shiftleft(packed, 8) + _block(F.col(hash_col), bi)
-        cols.append(F.xxhash64(F.lit(ci), packed))
-    return df.select(
+    # Two-step select: materialize the 8 block columns once, then hash
+    # each combination with ONE variadic xxhash64 — keeps the codegen
+    # tree ~10x smaller than inlining a shift/mask chain per combo.
+    # Also prune to (id, hash) FIRST: never drag the image `bytes`
+    # column through a 56-way explode.
+    blocks = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.array(*cols)).alias("band_idx", "band_hash"),
+        *[_block(F.col(hash_col), i).alias(f"_b{i}") for i in range(m)],
+    )
+    cols = [
+        F.xxhash64(F.lit(ci), *[F.col(f"_b{bi}") for bi in combo])
+        for ci, combo in enumerate(combos)
+    ]
+    return blocks.select(
+        "id", F.posexplode(F.array(*cols)).alias("band_idx", "band_hash")
     )
 
 
@@ -97,7 +103,9 @@ def phash_hamming_pairs(
     Exact (no false negatives) for pairs within distance d, by the
     pigeonhole guarantee; false positives pruned by verify_hamming.
     """
-    keys = hamming_block_keys(df, cfg, id_col, hash_col)
+    # materialize: the candidate generator consumes the key table in
+    # three branches; without this the 56-way explode runs three times
+    keys = hamming_block_keys(df, cfg, id_col, hash_col).localCheckpoint()
     cands = candidate_pairs_from_buckets(keys, cfg)
     return verify_hamming(cands, df, cfg, id_col, hash_col)
 

@@ -80,7 +80,11 @@ def substring_pairs(
     cfg: DedupConfig = DEFAULT_CONFIG,
     id_col: str = "image_id",
     text_col: str = "caption",
+    keys: DataFrame | None = None,
 ) -> DataFrame:
-    keys = winnow_keys(df, cfg, id_col, text_col)
+    """Pass pre-materialized ``keys`` to avoid re-running the winnowing
+    UDF per branch of the candidate generator (see minhash_pairs)."""
+    if keys is None:
+        keys = winnow_keys(df, cfg, id_col, text_col).localCheckpoint()
     cands = candidate_pairs_from_buckets(keys, cfg)
     return verify_substring(cands, df, cfg, id_col, text_col)

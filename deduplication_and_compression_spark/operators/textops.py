@@ -109,7 +109,9 @@ def bigram_jaccard_pairs(df: DataFrame, threshold_bp: int = 5000) -> DataFrame:
     the SQL-expressible twin of the MinHash tier — exact Jaccard, for
     the oracle; MinHash approximates exactly this at scale.
     """
-    bg = word_bigrams(df)
+    # materialize: bg feeds the size agg AND both sides of the
+    # self-join — without this the tokenize+explode runs three times
+    bg = word_bigrams(df).localCheckpoint()
     sizes = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         bg.alias("x")

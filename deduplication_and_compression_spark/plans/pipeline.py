@@ -30,10 +30,10 @@ from ..operators.assign import (
 )
 from ..operators.components import connected_components
 from ..operators.exact import exact_pairs
-from ..operators.minhash_lsh import minhash_pairs
+from ..operators.minhash_lsh import minhash_pairs, minhash_signatures
 from ..operators.pairs import union_pairs
 from ..operators.simhash import phash_hamming_pairs
-from ..operators.substring import substring_pairs
+from ..operators.substring import substring_pairs, winnow_keys
 
 ALL_TIERS = ("exact", "minhash", "simhash", "substring")
 
@@ -124,16 +124,22 @@ def run_pipeline(
     if "exact" in tiers:
         tier_dfs["exact"] = ck.stage("pairs_exact", lambda: exact_pairs(images))
     if "minhash" in tiers:
+        # signatures are their own checkpoint: the expensive Arrow UDF
+        # runs exactly once, and a resumed run skips it entirely
+        sigs = ck.stage("sig_minhash", lambda: minhash_signatures(images, cfg))
         tier_dfs["minhash"] = ck.stage(
-            "pairs_minhash", lambda: minhash_pairs(images, cfg).select("a", "b")
+            "pairs_minhash",
+            lambda: minhash_pairs(images, cfg, sigs=sigs).select("a", "b"),
         )
     if "simhash" in tiers:
         tier_dfs["simhash"] = ck.stage(
             "pairs_simhash", lambda: phash_hamming_pairs(images, cfg).select("a", "b")
         )
     if "substring" in tiers:
+        wkeys = ck.stage("winnow_keys", lambda: winnow_keys(images, cfg))
         tier_dfs["substring"] = ck.stage(
-            "pairs_substring", lambda: substring_pairs(images, cfg).select("a", "b")
+            "pairs_substring",
+            lambda: substring_pairs(images, cfg, keys=wkeys).select("a", "b"),
         )
 
     pairs = ck.stage("pairs_union", lambda: union_pairs(**tier_dfs), lineage=True)

@@ -78,10 +78,27 @@ def candidate_pairs_from_buckets(
 ) -> DataFrame:
     """Generic skew-aware bucket → candidate (a,b) pair generation.
 
-    Used by both the LSH tier and the SimHash tier.  Buckets with
-    ≤ hot_bucket_threshold members emit all pairs via a self-join;
-    hotter buckets emit star pairs around the min id (connectivity-
-    preserving, linear).  AQE skew-join handles residual imbalance.
+    Used by the LSH, SimHash and substring tiers.  Three regimes by
+    bucket size k (north_rule: "salted-shuffle candidate-pair
+    generation ... skew handled explicitly"):
+
+      k ≤ salt_floor            plain self-join on the bucket key —
+                                 uniform small buckets, no skew
+      salt_floor < k ≤ hot      SALTED self-join: the left side gets
+                                 salt = xxhash64(id) % s, the right
+                                 side is exploded to every salt value,
+                                 so one medium-hot bucket fans out to s
+                                 shuffle partitions instead of one
+                                 straggler task (s = cfg.salt_buckets);
+                                 every pair still appears exactly once
+      k > hot                    star pairs around the bucket's min id:
+                                 O(k) instead of O(k²), identical
+                                 connected-component structure (a hot
+                                 bucket at web scale is an exact-dup
+                                 flood whose members are mutually
+                                 similar)
+
+    AQE skew-join mops up residual imbalance in the size-tag join.
     """
     keys = [F.col(c) for c in key_cols]
     sizes = bucketed.groupBy(*keys).agg(
@@ -89,11 +106,27 @@ def candidate_pairs_from_buckets(
     ).filter(F.col("_bsz") > 1)
 
     tagged = bucketed.join(sizes, list(key_cols))
+    salt_floor = max(2, cfg.hot_bucket_threshold // 4)
+    s = cfg.salt_buckets
 
-    small = tagged.filter(F.col("_bsz") <= cfg.hot_bucket_threshold)
+    small = tagged.filter(F.col("_bsz") <= salt_floor)
     left = small.select(*keys, F.col("id").alias("a"))
     right = small.select(*keys, F.col("id").alias("b"))
     small_pairs = left.join(right, list(key_cols)).filter(F.col("a") < F.col("b"))
+
+    medium = tagged.filter(
+        (F.col("_bsz") > salt_floor) & (F.col("_bsz") <= cfg.hot_bucket_threshold)
+    )
+    m_left = medium.select(
+        *keys, F.col("id").alias("a"), F.pmod(F.xxhash64("id"), F.lit(s)).alias("_salt")
+    )
+    m_right = medium.select(
+        *keys, F.col("id").alias("b"),
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(s - 1).cast("long"))).alias("_salt"),
+    )
+    medium_pairs = m_left.join(m_right, list(key_cols) + ["_salt"]).filter(
+        F.col("a") < F.col("b")
+    )
 
     hot_pairs = (
         tagged.filter(
@@ -103,7 +136,12 @@ def candidate_pairs_from_buckets(
             F.least("id", "_bmin").alias("a"), F.greatest("id", "_bmin").alias("b")
         )
     )
-    return small_pairs.select("a", "b").union(hot_pairs).dropDuplicates(["a", "b"])
+    return (
+        small_pairs.select("a", "b")
+        .union(medium_pairs.select("a", "b"))
+        .union(hot_pairs)
+        .dropDuplicates(["a", "b"])
+    )
 
 
 def verify_jaccard(

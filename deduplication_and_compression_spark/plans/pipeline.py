@@ -118,7 +118,18 @@ def run_pipeline(
     tiers: tuple[str, ...] = ALL_TIERS,
     resume: bool = True,
 ) -> PipelineResult:
+    unknown = set(tiers) - set(ALL_TIERS)
+    if unknown:
+        raise ValueError(f"unknown tiers {sorted(unknown)}; valid: {ALL_TIERS}")
     ck = _Checkpointer(spark, out_dir, cfg, resume)
+
+    # Normalize input parallelism and cache: every tier scans the images
+    # table, and a single-file parquet input would otherwise cap the
+    # whole pipeline at a handful of input splits.
+    target = spark.sparkContext.defaultParallelism
+    if images.rdd.getNumPartitions() < target:
+        images = images.repartition(target)
+    images = images.persist()
 
     tier_dfs: dict[str, DataFrame] = {}
     if "exact" in tiers:
@@ -153,4 +164,5 @@ def run_pipeline(
     sav = ck.stage("savings", lambda: savings(asg, pay))
     ratio = dedup_ratio(asg, pay)
     ck.write_metrics()
+    images.unpersist()
     return PipelineResult(asg, sav, ratio, pairs, ck.metrics)

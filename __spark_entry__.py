@@ -30,7 +30,8 @@ from deduplication_and_compression_spark.operators.components import (
 )
 from deduplication_and_compression_spark.operators.minhash_lsh import minhash_pairs
 from deduplication_and_compression_spark.operators.similarity import (
-    brute_force_topk, cosine_neighbor_stats, srp_bucket_topk,
+    brute_force_topk, cosine_neighbor_stats, embedding_cosine_pairs,
+    srp_bucket_topk,
 )
 from deduplication_and_compression_spark.operators.simhash import (
     phash_hamming_pairs, simhash_from_text,
@@ -118,6 +119,10 @@ def _q_cosine_stats(spark, sf):
     return cosine_neighbor_stats(_embs(spark, sf), n_queries=20, threshold=0.3)
 
 
+def _q_embedding_pairs(spark, sf):
+    return embedding_cosine_pairs(_embs(spark, sf), threshold=0.3)
+
+
 def _q_minhash_pairs_docs(spark, sf):
     return (
         minhash_pairs(_docs(spark, sf), CFG, id_col="doc_id", text_col="text")
@@ -163,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_savings_docs": _q_cluster_savings,
         "cosine_neighbor_stats": _q_cosine_stats,
         "brute_topk_embeddings": _q_brute_topk,
+        "embedding_cosine_pairs": _q_embedding_pairs,
         # rows-only (non-SQL-expressible: seeded MinHash/SimHash/winnow/SRP)
         "minhash_pairs_docs": _q_minhash_pairs_docs,
         "simhash_docs": _q_simhash_docs,
@@ -217,7 +223,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_docs": f"""
             SELECT doc_id,
                    len({_TOKS}) AS n_tokens,
-                   len(list_distinct({_TOKS})) AS n_distinct_tokens
+                   len(list_distinct({_TOKS})) AS n_distinct_tokens,
+                   len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS n_pieces
             FROM documents
         """,
         "quality_scores_docs": f"""
@@ -283,6 +290,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, count(*) AS n_neighbors,
                    CAST(floor(avg(cos) * 10000.0) AS BIGINT) AS avg_cos_bp
             FROM s WHERE cos >= 0.3 GROUP BY 1
+        """,
+        "embedding_cosine_pairs": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            s AS (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                     list_inner_product(x.v, y.v)
+                       / (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v))) AS cos
+              FROM e x, e y WHERE x.vec_id < y.vec_id)
+            SELECT a, b, CAST(floor(cos * 10000.0) AS BIGINT) AS cos_bp
+            FROM s WHERE cos >= 0.3
         """,
         "brute_topk_embeddings": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -52,7 +52,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_from_dir(sf_dir)
-    n_images = images_rows_for_sf(sf)
+    n_images = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "0")) or images_rows_for_sf(sf)
+    skip_docs = os.environ.get("SPARK_GRAFT_BENCH_SKIP_DOCS") == "1"
 
     # fixture generation is cached and NOT part of the timed region
     cache = Path(
@@ -91,16 +92,17 @@ def main() -> None:
         shutil.rmtree(workdir, ignore_errors=True)
 
     # --- headline table queries from the driver contract ---
-    qs = entrymod.queries()
-    for name in (
-        "exact_dedup_docs",
-        "bigram_jaccard_pairs",
-        "cc_bigram_clusters",
-        "cosine_neighbor_stats",
-        "minhash_pairs_docs",
-        "srp_topk_embeddings",
-    ):
-        timed(name, lambda name=name: qs[name](spark, sf_dir).count())
+    if not skip_docs:
+        qs = entrymod.queries()
+        for name in (
+            "exact_dedup_docs",
+            "bigram_jaccard_pairs",
+            "cc_bigram_clusters",
+            "cosine_neighbor_stats",
+            "minhash_pairs_docs",
+            "srp_topk_embeddings",
+        ):
+            timed(name, lambda name=name: qs[name](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     images_per_sec = round(n_images / timings["image_pipeline"], 1)

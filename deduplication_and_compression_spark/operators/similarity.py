@@ -48,6 +48,30 @@ def cosine_neighbor_stats(
     )
 
 
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cos_bp): all id pairs with cosine ≥ threshold, a < b —
+    the embedding-cosine near-dup tier.  Exact (cross-join) semantics
+    for oracle parity; the SRP-bucketed variant below is the 10^12-row
+    path (bucket join instead of cross join).  cos floored to basis
+    points for engine-stable comparison."""
+    left = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    right = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    return (
+        left.crossJoin(right)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
+        .where(F.col("cos") >= threshold)
+        .select(
+            "a", "b", F.floor(F.col("cos") * 10000.0).cast("long").alias("cos_bp")
+        )
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame | None = None,

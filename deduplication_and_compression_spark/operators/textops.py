@@ -37,11 +37,16 @@ def exact_dedup_docs(df: DataFrame) -> DataFrame:
 
 
 def token_counts(df: DataFrame) -> DataFrame:
+    """Whitespace tokens plus a BPE-ish regex count (word pieces +
+    standalone punctuation), the cheap token-budget estimator of a
+    training-data pipeline."""
     t = _tokens()
     return df.select(
         "doc_id",
         F.size(t).alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)
+               ).alias("n_pieces"),
     )
 
 

@@ -1,0 +1,88 @@
+"""Physical-plan audits: the properties that matter at 100 TB.
+
+These assert on explain() output so regressions in column pruning,
+filter pushdown, or aggregation shape fail CI rather than melting a
+cluster at scale.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from deduplication_and_compression_spark.config import DEFAULT_CONFIG as CFG
+from deduplication_and_compression_spark.operators.exact import exact_pairs
+from deduplication_and_compression_spark.operators.minhash_lsh import (
+    minhash_signatures,
+)
+from deduplication_and_compression_spark.operators.simhash import hamming_block_keys
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def images_path(fixture_pdf, tmp_path_factory):
+    images, _ = fixture_pdf
+    p = tmp_path_factory.mktemp("plans") / "images.parquet"
+    images.to_parquet(p, index=False)
+    return str(p)
+
+
+def test_signature_scan_prunes_bytes(spark, images_path):
+    """The MinHash signature stage must never read the image payload:
+    ReadSchema has to be (image_id, caption) only."""
+    df = spark.read.parquet(images_path)
+    plan = _plan(minhash_signatures(df, CFG))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    line = read_schema[0]
+    assert "caption" in line and "image_id" in line
+    assert "bytes" not in line, f"payload column not pruned: {line}"
+
+
+def test_phash_keys_scan_prunes_everything_but_id_and_phash(spark, images_path):
+    df = spark.read.parquet(images_path)
+    plan = _plan(hamming_block_keys(df, CFG))
+    line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "phash" in line and "image_id" in line
+    assert "bytes" not in line and "caption" not in line, line
+
+
+def test_filter_pushdown_to_parquet(spark, images_path):
+    df = spark.read.parquet(images_path).where(F.col("fmt") == "jpg").select("image_id")
+    plan = _plan(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "fmt" in pushed[0], plan
+
+
+def test_exact_pairs_uses_partial_aggregate(spark, images_path):
+    """The dedup groupBy must be two-phase (map-side partial_min/
+    partial_count before the exchange) so the shuffle carries one
+    record per (partition, hash), not per row.  Note: min over a
+    string id forces SortAggregate (no fixed-width buffer) — still
+    two-phase, which is the property that matters at scale."""
+    df = spark.read.parquet(images_path)
+    plan = _plan(exact_pairs(df), "simple")
+    assert "partial_min" in plan and "partial_count" in plan, plan
+    assert "Exchange hashpartitioning(content_hash" in plan, plan
+
+
+def test_whole_stage_codegen_covers_banding(spark, images_path):
+    """Band-key derivation is pure JVM: it must sit inside a
+    WholeStageCodegen region, with no Python evaluation node."""
+    from deduplication_and_compression_spark.operators.simhash import (
+        hamming_block_keys,
+    )
+    df = spark.read.parquet(images_path)
+    plan = _plan(hamming_block_keys(df, CFG), "simple")
+    # '*(n)' prefixes mark whole-stage-codegen regions in simple mode
+    assert "*(" in plan, plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan

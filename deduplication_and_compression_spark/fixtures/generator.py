@@ -142,8 +142,14 @@ def generate_images(
         start = len(plans)
         plans.extend(rows)
         if tier is not None:
-            for i, j in itertools.combinations(range(start, start + len(rows)), 2):
-                truth.append((i, j, tier))
+            idxs = range(start, start + len(rows))
+            if len(rows) > 200:
+                # hot clusters: star truth pairs only — closure-equivalent
+                # for recall, avoids O(k²) truth explosion at bench scale
+                truth.extend((start, j, tier) for j in idxs if j != start)
+            else:
+                for i, j in itertools.combinations(idxs, 2):
+                    truth.append((i, j, tier))
 
     n_exact = max(0, int(n_rows * 0.10))
     n_minhash = int(n_rows * 0.10)

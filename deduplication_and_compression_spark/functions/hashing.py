@@ -29,12 +29,20 @@ _POLY_BASE = _U64(0x100000001B3)  # FNV prime, reused as poly base
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer over a uint64 array."""
+    """Vectorized splitmix64 finalizer over a uint64 array.
+
+    In-place arithmetic on one working copy: the naive chained
+    expression allocates ~10 temporaries, which at 10^7-element inputs
+    (150 MB each) leaves the malloc fast path and page-faults its way
+    to a 10x slowdown."""
     with np.errstate(over="ignore"):
-        z = (x + _SM_GAMMA).astype(_U64)
-        z = (z ^ (z >> _U64(30))) * _SM_M1
-        z = (z ^ (z >> _U64(27))) * _SM_M2
-        z = z ^ (z >> _U64(31))
+        z = np.array(x, dtype=_U64, copy=True)
+        z += _SM_GAMMA
+        z ^= z >> _U64(30)
+        z *= _SM_M1
+        z ^= z >> _U64(27)
+        z *= _SM_M2
+        z ^= z >> _U64(31)
     return z
 
 
@@ -97,31 +105,53 @@ def minhash_signature(shingles: np.ndarray, seeds: np.ndarray) -> np.ndarray:
 
 
 def minhash_signatures_batch(
-    texts: "list[str]", k: int, seeds: np.ndarray
+    texts: "list[str]", k: int, seeds: np.ndarray, tile_rows: int = 16
 ) -> np.ndarray:
     """Batch MinHash: returns uint64[(n_texts, n_perm)].
 
-    One reduceat-based pass per seed-chunk over the concatenation of all
-    rows' shingle hashes — the hot inner loop is pure numpy over the
-    whole Arrow batch, not per row.
+    Row-tiled: shingle hashes for ~tile_rows texts at a time are mixed
+    against all seeds in ONE preallocated (shingles x n_perm) buffer
+    that stays L3-resident, then reduced per text with a single
+    axis-0 reduceat.  The earlier whole-batch formulations were
+    memory-bandwidth-bound (128 passes over a 100 MB+ array) and went
+    superlinear once temporaries left the cache; this shape is linear
+    in batch size and allocation-free in the hot loop.
     """
     per_row = [np.unique(char_kgram_hashes(t, k)) for t in texts]
     counts = np.array([a.shape[0] for a in per_row], dtype=np.int64)
     n = len(texts)
     nperm = seeds.shape[0]
-    out = np.full((n, nperm), np.iinfo(np.uint64).max, dtype=_U64)
-    nonempty = counts > 0
-    if not nonempty.any():
+    out = np.empty((n, nperm), dtype=_U64)
+    out.fill(np.uint64(np.iinfo(np.uint64).max))
+    max_shingles = 0
+    for i in range(0, n, tile_rows):
+        max_shingles = max(max_shingles, int(counts[i : i + tile_rows].sum()))
+    if max_shingles == 0:
         return out
-    cat = np.concatenate([a for a in per_row if a.shape[0] > 0])
-    seg_starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
-    np.cumsum(counts[nonempty][:-1], out=seg_starts[1:])
-    rows_idx = np.flatnonzero(nonempty)
-    step = 16  # 16 seeds at a time: |cat| x 16 x 8B working set
-    for s in range(0, nperm, min(step, nperm)):
-        block = splitmix64(cat[:, None] ^ seeds[None, s : s + step])
-        for j in range(block.shape[1]):
-            out[rows_idx, s + j] = np.minimum.reduceat(block[:, j], seg_starts)
+    buf = np.empty((max_shingles, nperm), dtype=_U64)
+    tmp = np.empty((max_shingles, nperm), dtype=_U64)
+    c30, c27, c31 = _U64(30), _U64(27), _U64(31)
+    with np.errstate(over="ignore"):
+        for i in range(0, n, tile_rows):
+            rows = [a for a in per_row[i : i + tile_rows] if a.shape[0] > 0]
+            if not rows:
+                continue
+            cat = np.concatenate(rows)
+            m = cat.shape[0]
+            b, t = buf[:m], tmp[:m]
+            np.bitwise_xor(cat[:, None], seeds[None, :], out=b)
+            # in-place splitmix64 over the tile
+            b += _SM_GAMMA
+            np.right_shift(b, c30, out=t); b ^= t
+            b *= _SM_M1
+            np.right_shift(b, c27, out=t); b ^= t
+            b *= _SM_M2
+            np.right_shift(b, c31, out=t); b ^= t
+            tc = counts[i : i + tile_rows]
+            nz = np.flatnonzero(tc > 0)
+            starts = np.zeros(nz.shape[0], dtype=np.int64)
+            np.cumsum(tc[nz][:-1], out=starts[1:])
+            out[i + nz] = np.minimum.reduceat(b, starts, axis=0)
     return out
 
 

@@ -66,6 +66,7 @@ def connected_components(
     Only nodes appearing in edges are labeled (singletons are handled
     downstream by assignments_from_labels' coalesce).
     """
+    spark = edges.sparkSession
     cur = (
         edges.select(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
@@ -74,19 +75,30 @@ def connected_components(
         .dropDuplicates()
         .localCheckpoint()
     )
-    prev_sig = None
-    for _ in range(cfg.cc_max_iterations):
-        ls = _large_star(_symmetric(cur))
-        ss = _small_star(_symmetric(ls))
-        cur = (
-            ss.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
-            .dropDuplicates()
-            .localCheckpoint()
-        )
-        sig = _checksum(cur)
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+    # CC rounds shuffle a small edge table many times; running them at
+    # the session-wide shuffle parallelism makes per-task overhead scale
+    # with the cluster (measured 12s -> 72s going local[8] -> local[32]).
+    # Size the rounds' shuffles to the DATA instead, then restore.
+    n_edges = cur.count()
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    cc_parts = max(4, min(int(old_sp), n_edges // 250_000 + 4))
+    spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
+    try:
+        prev_sig = None
+        for _ in range(cfg.cc_max_iterations):
+            ls = _large_star(_symmetric(cur))
+            ss = _small_star(_symmetric(ls))
+            cur = (
+                ss.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+                .dropDuplicates()
+                .localCheckpoint()
+            )
+            sig = _checksum(cur)
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     # converged: star graphs rooted at component minimum — but a node may
     # still appear with multiple labels in pathological tie rounds; take min.
     labels = (

@@ -173,6 +173,9 @@ def verify_jaccard(
         candidates.join(texts.withColumnRenamed("_tid", "a").withColumnRenamed("_txt", "_ta"), "a")
         .join(texts.withColumnRenamed("_tid", "b").withColumnRenamed("_txt", "_tb"), "b")
     )
+    # AQE coalesces the (small) join output by size; fan back out so the
+    # Python verify stage uses every core, not one coalesced partition
+    joined = joined.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return (
         joined.withColumn("jaccard", _jac("_ta", "_tb"))
         .filter(F.col("jaccard") >= F.lit(cfg.jaccard_threshold))

@@ -68,6 +68,8 @@ def verify_substring(
         candidates.join(texts.withColumnRenamed("_tid", "a").withColumnRenamed("_txt", "_ta"), "a")
         .join(texts.withColumnRenamed("_tid", "b").withColumnRenamed("_txt", "_tb"), "b")
     )
+    # fan out for the Python LCS stage (see verify_jaccard note)
+    joined = joined.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return (
         joined.withColumn("lcs_len", _lcs("_ta", "_tb"))
         .filter(F.col("lcs_len") >= F.lit(L))

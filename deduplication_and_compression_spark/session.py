@@ -32,6 +32,13 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE: parallelismFirst stays at its default (true).  We tried
+        # size-based coalescing (parallelismFirst=false, 4-16m advisory)
+        # to kill per-task overhead on tiny shuffles, but it halves the
+        # parallelism of CPU-bound mid-size joins whose compressed
+        # shuffle bytes are small (simhash candidate gen: 40s -> 95s at
+        # local[32]).  The one pathological tiny-shuffle case, the CC
+        # rounds, sizes its own shuffle partitions instead.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -59,7 +59,7 @@ def main() -> None:
     cache = Path(
         os.environ.get("SPARK_GRAFT_BENCH_CACHE", str(REPO / ".bench_cache"))
     ) / f"images_{n_images}_seed42_{CFG.fingerprint()}"
-    img_path, _ = write_fixture(cache, n_images, seed=42, cfg=CFG)
+    img_path, truth_path = write_fixture(cache, n_images, seed=42, cfg=CFG)
 
     spark = build_session(
         app_name="dedup-bench", cores=cpus, shuffle_partitions=max(cpus, 8)
@@ -88,6 +88,23 @@ def main() -> None:
             lambda: run_pipeline(spark, images, workdir, CFG, resume=False),
         )
         n_dups = res.assignments.where("is_duplicate").count()
+        # north-star gate at bench scale: planted-pair recall = fraction
+        # of truth pairs whose endpoints share a cluster label
+        from pyspark.sql import functions as F
+        truth = spark.read.parquet(str(truth_path))
+        lab = res.assignments.select("image_id", "cluster_id")
+        hit = (
+            truth.join(lab.withColumnRenamed("image_id", "a")
+                       .withColumnRenamed("cluster_id", "_ca"), "a")
+            .join(lab.withColumnRenamed("image_id", "b")
+                  .withColumnRenamed("cluster_id", "_cb"), "b")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("_ca") == F.col("_cb")).cast("int")).alias("hits"),
+            )
+            .collect()[0]
+        )
+        recall = round(hit["hits"] / max(1, hit["n"]), 4)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -117,6 +134,7 @@ def main() -> None:
                 "n_images": n_images,
                 "images_per_sec": images_per_sec,
                 "duplicates_found": n_dups,
+                "dup_pair_recall": recall,
                 "cpus": cpus,
             }
         )

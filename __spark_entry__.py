@@ -82,6 +82,13 @@ def _q_fp(spark, sf):
 
 
 def _q_bigram_jaccard(spark, sf):
+    # allpairs wins on this tiny-vocab corpus; the prefix-filtered
+    # (PPJoin) variant below is the realistic-corpus scale path —
+    # both are oracled against the SAME SQL (identical semantics)
+    return textops.bigram_jaccard_pairs_allpairs(_docs(spark, sf), threshold_bp=5000)
+
+
+def _q_bigram_jaccard_ppjoin(spark, sf):
     return textops.bigram_jaccard_pairs(_docs(spark, sf), threshold_bp=5000)
 
 
@@ -90,14 +97,14 @@ def _q_lgram_substring(spark, sf):
 
 
 def _q_cc_clusters(spark, sf):
-    pairs = textops.bigram_jaccard_pairs(_docs(spark, sf), threshold_bp=5000)
+    pairs = textops.bigram_jaccard_pairs_allpairs(_docs(spark, sf), threshold_bp=5000)
     labels = connected_components(pairs.select("a", "b"), CFG)
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
 def _q_cluster_savings(spark, sf):
     docs = _docs(spark, sf)
-    pairs = textops.bigram_jaccard_pairs(docs, threshold_bp=5000)
+    pairs = textops.bigram_jaccard_pairs_allpairs(docs, threshold_bp=5000)
     labels = connected_components(pairs.select("a", "b"), CFG)
     asg = assignments_from_labels(docs, labels, id_col="doc_id")
     joined = asg.join(docs.select("doc_id", "n_chars"), "doc_id")
@@ -163,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_docs": _q_lang,
         "doc_fingerprints": _q_fp,
         "bigram_jaccard_pairs": _q_bigram_jaccard,
+        "bigram_jaccard_ppjoin": _q_bigram_jaccard_ppjoin,
         "lgram_substring_pairs": _q_lgram_substring,
         "cc_bigram_clusters": _q_cc_clusters,
         "cluster_savings_docs": _q_cluster_savings,
@@ -257,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "bigram_jaccard_pairs": f"WITH {_BIGRAM_CTE} SELECT a, b, jaccard_bp FROM pairs",
+        "bigram_jaccard_ppjoin": f"WITH {_BIGRAM_CTE} SELECT a, b, jaccard_bp FROM pairs",
         "lgram_substring_pairs": """
             WITH gp AS (
               SELECT doc_id, text, unnest(generate_series(1, length(text) - 23)) AS i

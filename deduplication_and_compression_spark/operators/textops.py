@@ -109,13 +109,68 @@ def word_bigrams(df: DataFrame) -> DataFrame:
 def bigram_jaccard_pairs(df: DataFrame, threshold_bp: int = 5000) -> DataFrame:
     """(a, b, jaccard_bp): word-bigram Jaccard ≥ threshold, a<b.
 
-    One exploded bigram table, self-joined on the bigram (the shuffle
-    key), intersection counts aggregated, sizes joined back.  This is
-    the SQL-expressible twin of the MinHash tier — exact Jaccard, for
-    the oracle; MinHash approximates exactly this at scale.
+    Exact similarity join with PREFIX FILTERING (Chaudhuri et al.
+    ICDE'06 / Xiao et al. PPJoin — public algorithms): under a global
+    token order (ascending document frequency, ties by token), any
+    pair with J ≥ t must share a token within each side's first
+    |x| − ⌈t·|x|⌉ + 1 tokens, so the self-join runs on the RARE-token
+    prefixes only; exact intersections are then computed with
+    array_intersect over the candidates.  Output is identical to the
+    naive all-token join (the DuckDB oracle) with candidate volume cut
+    by orders of magnitude on skewed corpora — this is the exact twin
+    of what MinHash/LSH approximates at 10^12 rows.
     """
-    # materialize: bg feeds the size agg AND both sides of the
-    # self-join — without this the tokenize+explode runs three times
+    t = threshold_bp / 10000.0
+    # materialize: bg feeds frequencies, prefixes and the arrays
+    bg = word_bigrams(df).localCheckpoint()
+    freq = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("_gf"))
+    docs = (
+        bg.join(freq, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_gf", "bigram"))).alias("_ord"),
+        )
+        .select(
+            "doc_id",
+            F.transform("_ord", lambda s: s["bigram"]).alias("arr"),
+            F.size("_ord").alias("n"),
+        )
+    )
+    prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1).cast("int")
+    prefixes = docs.select(
+        "doc_id", F.explode(F.slice("arr", 1, prefix_len)).alias("bigram")
+    )
+    cands = (
+        prefixes.alias("x")
+        .join(prefixes.alias("y"), "bigram")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .dropDuplicates()
+    )
+    d = docs.select("doc_id", "arr", "n")
+    return (
+        cands.join(d.withColumnRenamed("doc_id", "a").withColumnRenamed("arr", "_aa").withColumnRenamed("n", "na"), "a")
+        .join(d.withColumnRenamed("doc_id", "b").withColumnRenamed("arr", "_ab").withColumnRenamed("n", "nb"), "b")
+        .withColumn("i", F.size(F.array_intersect("_aa", "_ab")))
+        .select(
+            "a", "b",
+            F.floor(
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+                * F.lit(10000.0)
+            ).cast("long").alias("jaccard_bp"),
+        )
+        .where(F.col("jaccard_bp") >= threshold_bp)
+    )
+
+
+def bigram_jaccard_pairs_allpairs(df: DataFrame, threshold_bp: int = 5000) -> DataFrame:
+    """Naive exact variant: self-join on EVERY bigram.  Faster than the
+    prefix-filtered join only on degenerate tiny-vocabulary corpora
+    (like the driver fixture: 931 distinct bigrams, so there are no
+    rare tokens for the prefix filter to exploit); on realistic
+    Zipfian text the prefix-filtered version wins by orders of
+    magnitude.  Both produce identical output."""
     bg = word_bigrams(df).localCheckpoint()
     sizes = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (

@@ -4,9 +4,12 @@
 sf0.001 ``documents`` table.  ``queries()`` exposes each implemented
 operator from SURVEY.md §2 / §7 over the driver-generated tables;
 ``oracle_sql()`` gives the DuckDB-runnable ANSI twin for every
-SQL-expressible one (MinHash/SimHash/winnowing/SRP queries are
-rows-only by nature; their correctness gates live in tests/ against
-brute-force oracles).
+SQL-expressible one — including the winnowed-substring tier (its
+verified output equals the all-positions L-gram join) and SRP top-k
+(seed-derived hyperplanes embedded as SQL literals).  Only
+``minhash_pairs_docs`` stays rows-only (Spark-internal xxhash64 over
+array columns); its gate is the brute-force oracle + recall bound in
+tests/test_minhash.py.
 
 Column names and arithmetic order match between the Spark plans and
 the SQL strings so the driver's order-insensitive value-hash agrees;
@@ -131,11 +134,11 @@ def _q_embedding_pairs(spark, sf):
 
 
 def _q_minhash_pairs_docs(spark, sf):
-    return (
-        minhash_pairs(_docs(spark, sf), CFG, id_col="doc_id", text_col="text")
-        .select("a", "b")
-        .orderBy("a", "b")
-    )
+    # no global sort: the driver hashes order-insensitively, and a
+    # total order on pair output is dead weight at scale
+    return minhash_pairs(
+        _docs(spark, sf), CFG, id_col="doc_id", text_col="text"
+    ).select("a", "b")
 
 
 def _q_simhash_docs(spark, sf):
@@ -143,15 +146,17 @@ def _q_simhash_docs(spark, sf):
 
 
 def _q_winnow_pairs_docs(spark, sf):
-    return (
-        substring_pairs(_docs(spark, sf), CFG, id_col="doc_id", text_col="text")
-        .select("a", "b")
-        .orderBy("a", "b")
-    )
+    return substring_pairs(
+        _docs(spark, sf), CFG, id_col="doc_id", text_col="text"
+    ).select("a", "b")
+
+
+_EMB_DIM = 64  # driver embeddings.parquet schema (fixed-width array<float>)
 
 
 def _q_srp_topk(spark, sf):
-    return srp_bucket_topk(_embs(spark, sf), n_bits=6, k=5).select(
+    # dim passed explicitly: no driver-side .first() at plan-build time
+    return srp_bucket_topk(_embs(spark, sf), n_bits=6, k=5, dim=_EMB_DIM).select(
         "query_id", "neighbor_id", "rank"
     )
 
@@ -177,11 +182,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neighbor_stats": _q_cosine_stats,
         "brute_topk_embeddings": _q_brute_topk,
         "embedding_cosine_pairs": _q_embedding_pairs,
-        # rows-only (non-SQL-expressible: seeded MinHash/SimHash/winnow/SRP)
-        "minhash_pairs_docs": _q_minhash_pairs_docs,
-        "simhash_docs": _q_simhash_docs,
         "winnow_substring_pairs_docs": _q_winnow_pairs_docs,
         "srp_topk_embeddings": _q_srp_topk,
+        "simhash_docs": _q_simhash_docs,
+        # rows-only: minhash_pairs_docs' band keys use Spark's internal
+        # xxhash64 over array<long> columns, whose byte-level hashing of
+        # complex types is engine-specific and not replicable in ANSI
+        # SQL; its correctness gate is the brute-force true-Jaccard
+        # oracle + recall bound in tests/test_minhash.py
+        "minhash_pairs_docs": _q_minhash_pairs_docs,
     }
 
 
@@ -218,6 +227,36 @@ reach(u, lbl) AS (
 ),
 lab AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u)
 """
+
+
+def _srp_oracle_sql(n_bits: int = 6, k: int = 5, dim: int = _EMB_DIM,
+                    seed: int = 0xB17_5EED) -> str:
+    """DuckDB twin of srp_bucket_topk: the hyperplanes are seed-derived
+    numpy constants, so they embed as double literals (Python repr is
+    shortest-round-trip, so DuckDB parses the exact same doubles Spark
+    folds into its plan)."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_bits, dim))
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_inner_product(v, [{', '.join(repr(float(x)) for x in planes[i])}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id, v, {bit_terms} AS bucket FROM e),
+        s AS (
+          SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+                 list_inner_product(x.v, y.v)
+                   / (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v))) AS cos
+          FROM c x JOIN c y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+        r AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM s)
+        SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -284,8 +323,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cid, d.n_chars
               FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id)
             SELECT cid AS cluster_id, count(*) AS members,
-                   sum(n_chars) AS chars_total,
-                   sum(n_chars) - max(CASE WHEN doc_id = cid THEN n_chars END) AS chars_saved
+                   CAST(sum(n_chars) AS BIGINT) AS chars_total,
+                   CAST(sum(n_chars) - max(CASE WHEN doc_id = cid THEN n_chars END)
+                        AS BIGINT) AS chars_saved
             FROM fullt GROUP BY 1 HAVING count(*) > 1
         """,
         "cosine_neighbor_stats": """
@@ -324,4 +364,19 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         """,
+        # winnowing guarantees every pair sharing a >=32-char run is a
+        # candidate; verify keeps exactly LCS >= 32 — so the operator's
+        # output EQUALS the all-positions 32-gram join relation
+        "winnow_substring_pairs_docs": """
+            WITH gp AS (
+              SELECT doc_id, text, unnest(generate_series(1, length(text) - 31)) AS i
+              FROM documents WHERE length(text) >= 32),
+            g AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 32) AS gram
+              FROM gp)
+            SELECT x.doc_id AS a, y.doc_id AS b
+            FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        """,
+        "srp_topk_embeddings": _srp_oracle_sql(),
     }

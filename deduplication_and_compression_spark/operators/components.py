@@ -85,6 +85,7 @@ def connected_components(
     spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
     try:
         prev_sig = None
+        converged = False
         for _ in range(cfg.cc_max_iterations):
             ls = _large_star(_symmetric(cur))
             ss = _small_star(_symmetric(ls))
@@ -95,8 +96,17 @@ def connected_components(
             )
             sig = _checksum(cur)
             if sig == prev_sig:
+                converged = True
                 break
             prev_sig = sig
+        if not converged:
+            # a non-converged graph would yield split/mislabeled
+            # clusters downstream — fail loudly, never silently
+            raise RuntimeError(
+                f"connected_components did not converge within "
+                f"{cfg.cc_max_iterations} large-star/small-star rounds "
+                f"({n_edges} input edges); raise cfg.cc_max_iterations"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     # converged: star graphs rooted at component minimum — but a node may

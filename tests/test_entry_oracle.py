@@ -43,7 +43,15 @@ def test_query_matches_duckdb_oracle(spark, ddb, name):
     assert list(spark_pdf.columns) == list(oracle_pdf.columns), name
     for c in spark_pdf.columns:
         sc, oc = spark_pdf[c], oracle_pdf[c]
-        if sc.dtype.kind == "f" or oc.dtype.kind == "f":
+        # type-strict: an integer column must stay integer-typed on BOTH
+        # sides — DuckDB promoting sum(BIGINT) to HUGEINT (object/float
+        # in pandas) is exactly the divergence the driver's value-hash
+        # rejects, so the rehearsal must reject it too (VERDICT r1 §wrong 1)
+        assert sc.dtype.kind == oc.dtype.kind, (
+            f"{name}.{c}: dtype kind {sc.dtype.kind} vs oracle {oc.dtype.kind}"
+            f" ({sc.dtype} vs {oc.dtype})"
+        )
+        if sc.dtype.kind == "f":
             pd.testing.assert_series_equal(
                 sc.astype(float), oc.astype(float), check_names=False, rtol=1e-9
             )

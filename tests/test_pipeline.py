@@ -31,8 +31,14 @@ def test_representative_is_min_member(pipe_result):
     res, _ = pipe_result
     asg = res.assignments.toPandas()
     gmin = asg.groupby("cluster_id")["image_id"].min()
-    assert (asg["cluster_id"] == asg["image_id"].map(lambda _: None).fillna(asg["cluster_id"])).all()
+    # the cluster label IS the minimum member id ...
     assert all(gmin[c] == c for c in asg["cluster_id"].unique())
+    # ... the representative is that minimum, and exactly the
+    # non-representative members are flagged duplicate
+    assert (asg["representative_id"] == asg["cluster_id"]).all()
+    assert (
+        asg["is_duplicate"] == (asg["image_id"] != asg["representative_id"])
+    ).all()
 
 
 def test_pixel_psnr_invariant(pipe_result, fixture_pdf, cfg):

@@ -152,13 +152,19 @@ def _q_winnow_pairs_docs(spark, sf):
 
 
 _EMB_DIM = 64  # driver embeddings.parquet schema (fixed-width array<float>)
+# multi-table SRP config: the fixture's true top-5 neighbors sit at
+# cos ≈ 0.32 (θ ≈ 71°), so recall needs wide tables — b=4, L=12 gives
+# measured recall@5 ≈ 0.82 (gated ≥ 0.7 in tests/test_similarity.py);
+# clustered real-world embeddings support higher b / lower L
+_SRP_BITS, _SRP_TABLES, _SRP_K = 4, 12, 5
 
 
 def _q_srp_topk(spark, sf):
     # dim passed explicitly: no driver-side .first() at plan-build time
-    return srp_bucket_topk(_embs(spark, sf), n_bits=6, k=5, dim=_EMB_DIM).select(
-        "query_id", "neighbor_id", "rank"
-    )
+    return srp_bucket_topk(
+        _embs(spark, sf), n_bits=_SRP_BITS, k=_SRP_K, dim=_EMB_DIM,
+        n_tables=_SRP_TABLES,
+    ).select("query_id", "neighbor_id", "rank")
 
 
 def _q_brute_topk(spark, sf):
@@ -229,28 +235,39 @@ lab AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u)
 """
 
 
-def _srp_oracle_sql(n_bits: int = 6, k: int = 5, dim: int = _EMB_DIM,
+def _srp_oracle_sql(n_bits: int = _SRP_BITS, n_tables: int = _SRP_TABLES,
+                    k: int = _SRP_K, dim: int = _EMB_DIM,
                     seed: int = 0xB17_5EED) -> str:
-    """DuckDB twin of srp_bucket_topk: the hyperplanes are seed-derived
-    numpy constants, so they embed as double literals (Python repr is
-    shortest-round-trip, so DuckDB parses the exact same doubles Spark
-    folds into its plan)."""
-    import numpy as np
+    """DuckDB twin of the multi-table srp_bucket_topk: the hyperplanes
+    are seed-derived numpy constants, so they embed as double literals
+    (Python repr is shortest-round-trip, so DuckDB parses the exact
+    same doubles Spark folds into its plan).  Table index is mixed into
+    the bucket id (tb = t*2^b + code) so one unnest covers all L
+    tables — set-identical to Spark's join on (t, bucket)."""
+    from deduplication_and_compression_spark.operators.similarity import srp_planes
 
-    planes = np.random.default_rng(seed).standard_normal((n_bits, dim))
-    bit_terms = " + ".join(
-        f"(CASE WHEN list_inner_product(v, [{', '.join(repr(float(x)) for x in planes[i])}]) >= 0 "
-        f"THEN {1 << i} ELSE 0 END)"
-        for i in range(n_bits)
-    )
+    planes = srp_planes(n_tables, n_bits, dim, seed)
+
+    def bucket_expr(t: int) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN list_inner_product(v, [{', '.join(repr(float(x)) for x in planes[t, i])}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(n_bits)
+        )
+        return f"({bits} + {t * (1 << n_bits)})"
+
+    tb_list = ", ".join(bucket_expr(t) for t in range(n_tables))
     return f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        c AS (SELECT vec_id, v, {bit_terms} AS bucket FROM e),
+        c AS (SELECT vec_id, unnest([{tb_list}]) AS tb FROM e),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+          FROM c x JOIN c y ON x.tb = y.tb AND x.vec_id <> y.vec_id),
         s AS (
-          SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
-                 list_inner_product(x.v, y.v)
-                   / (sqrt(list_inner_product(x.v, x.v)) * sqrt(list_inner_product(y.v, y.v))) AS cos
-          FROM c x JOIN c y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+          SELECT query_id, neighbor_id,
+                 list_inner_product(q.v, n.v)
+                   / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(n.v, n.v))) AS cos
+          FROM cand JOIN e q ON q.vec_id = query_id JOIN e n ON n.vec_id = neighbor_id),
         r AS (
           SELECT query_id, neighbor_id,
                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank

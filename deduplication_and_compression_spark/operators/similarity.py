@@ -98,6 +98,13 @@ def brute_force_topk(
     )
 
 
+def srp_planes(n_tables: int, n_bits: int, dim: int, seed: int) -> np.ndarray:
+    """(n_tables, n_bits, dim) seed-derived hyperplanes — shared by the
+    Spark plan, the DuckDB oracle generator, and the recall tests."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_bits, dim))
+
+
 def srp_bucket_topk(
     emb: DataFrame,
     n_bits: int = 8,
@@ -106,43 +113,66 @@ def srp_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    n_tables: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: sign-random-projection bucket, then exact
-    cosine within bucket.  The hyperplanes are derived deterministically
-    from the seed (no Date.now/random state) and evaluated JVM-side as
-    a literal-array dot product per bit."""
-    if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_bits, dim))
+    """Approximate top-k: multi-table sign-random-projection LSH
+    (Charikar STOC'02; classic L-tables-of-b-bits construction).
 
-    def code_col(vc):
-        bits = []
+    A single b-bit code has poor recall for top-k (neighbors straddle
+    hyperplanes), so we key each vector into ``n_tables`` independent
+    b-bit buckets; candidates = ids sharing ANY table's bucket, then
+    exact cosine re-rank.  Hit probability per neighbor at angle θ is
+    1-(1-(1-θ/π)^b)^L — the same band/bucket amplification the MinHash
+    tier uses for Jaccard.
+
+    Scale shape: codes are JVM-side literal-array dot products (no
+    Python); the candidate join shuffles (table, bucket, id) only and
+    vectors re-join by id for the re-rank.  Hyperplanes derive
+    deterministically from ``seed`` so the DuckDB oracle can embed them
+    as literals.  ``dim`` must be passed (no driver-side action at
+    plan-build time).
+    """
+    if dim is None:
+        raise ValueError("pass dim explicitly (embedding width)")
+    planes = srp_planes(n_tables, n_bits, dim, seed)
+
+    def code_col(vc, t: int):
+        out = F.lit(0)
         for i in range(n_bits):
-            lit = F.array(*[F.lit(float(x)) for x in planes[i]])
+            lit = F.array(*[F.lit(float(x)) for x in planes[t, i]])
             d = F.aggregate(
                 F.zip_with(vc, lit, lambda a, b: a.cast("double") * b),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-            bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-        out = F.lit(0)
-        for b in bits:
-            out = out + b
+            out = out + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         return out
 
-    coded = emb.select(
-        F.col(id_col), F.col(vec_col), code_col(F.col(vec_col)).alias("bucket")
+    # (id, table, bucket): one posexplode over the per-table codes —
+    # prune to (id, vec) first so nothing wider rides the explode
+    codes = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(*[code_col(F.col(vec_col), t) for t in range(n_tables)])
+        ).alias("t", "bucket"),
     )
-    left = coded.select(
-        F.col("bucket"), F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    cand = (
+        codes.alias("x")
+        .join(codes.alias("y"), ["t", "bucket"])
+        .where(F.col("x.id") != F.col("y.id"))
+        .select(F.col("x.id").alias("query_id"), F.col("y.id").alias("neighbor_id"))
+        .dropDuplicates()
     )
-    right = coded.select(
-        F.col("bucket"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
-    )
+    vecs = emb.select(F.col(id_col), F.col(vec_col))
     scored = (
-        left.join(right, "bucket")
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(
+            vecs.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+            "query_id",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")),
+            "neighbor_id",
+        )
         .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

@@ -190,7 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": _q_embedding_pairs,
         "winnow_substring_pairs_docs": _q_winnow_pairs_docs,
         "srp_topk_embeddings": _q_srp_topk,
-        "simhash_docs": _q_simhash_docs,
+        "simhash_docs": _q_simhash_docs,  # oracled via HUGEINT-mod-2^64 SQL
         # rows-only: minhash_pairs_docs' band keys use Spark's internal
         # xxhash64 over array<long> columns, whose byte-level hashing of
         # complex types is engine-specific and not replicable in ANSI
@@ -273,6 +273,89 @@ def _srp_oracle_sql(n_bits: int = _SRP_BITS, n_tables: int = _SRP_TABLES,
                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
           FROM s)
         SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}
+    """
+
+
+# --- simhash oracle: splitmix64 + polynomial token hash in ANSI-ish SQL ---
+# DuckDB has no wrapping 64-bit ops, so everything runs in HUGEINT mod
+# 2^64: xor via 32-bit halves (xor() is BIGINT-only), multiply via a
+# 32-bit split so no intermediate exceeds 2^96, shifts as floor-div by
+# powers of two.  The polynomial token hash avoids a sequential fold by
+# the identity hash = len*B^L + Σ byte_i * B^(L-i), with B^j mod 2^64
+# precomputed as literals.
+_M64 = "18446744073709551616::HUGEINT"
+_SM_GAMMA_I = 0x9E3779B97F4A7C15
+_SM_M1_I = 0xBF58476D1CE4E5B9
+_SM_M2_I = 0x94D049BB133111EB
+_POLY_B_I = 0x100000001B3
+_MAX_TOK_BYTES = 64  # POW table width; fixture tokens are <= 8 bytes
+
+
+def _sql_xor64(a: str, b: str) -> str:
+    return (
+        f"(CAST(xor(CAST(({a}) // 4294967296 AS BIGINT), CAST(({b}) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296"
+        f" + CAST(xor(CAST(({a}) % 4294967296 AS BIGINT), CAST(({b}) % 4294967296 AS BIGINT)) AS HUGEINT))"
+    )
+
+
+def _sql_mulmod64(x: str, c: int) -> str:
+    return (
+        f"(((({x}) % 4294967296) * {c}::HUGEINT"
+        f" + ((({x}) // 4294967296) * {c}::HUGEINT % 4294967296) * 4294967296)"
+        f" % {_M64})"
+    )
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of simhash_from_text: tokenize on ASCII whitespace,
+    length-prefixed polynomial hash per token, splitmix64 finalizer,
+    majority vote per bit (2*ones > n_tokens), uint64→int64 reinterpret.
+    Mirrors functions/hashing.py:token_hashes_batch + simhash_batch."""
+    pow_list = ", ".join(
+        str(pow(_POLY_B_I, j, 1 << 64)) for j in range(_MAX_TOK_BYTES + 1)
+    )
+    pw2_list = ", ".join(str(1 << i) for i in range(64))
+    steps = [
+        f"((z + {_SM_GAMMA_I}::HUGEINT) % {_M64})",
+        _sql_xor64("z", "z // 1073741824"),   # z ^= z >> 30
+        _sql_mulmod64("z", _SM_M1_I),
+        _sql_xor64("z", "z // 134217728"),    # z ^= z >> 27
+        _sql_mulmod64("z", _SM_M2_I),
+        _sql_xor64("z", "z // 2147483648"),   # z ^= z >> 31
+    ]
+    step_ctes = ",\n".join(
+        f"s{i} AS (SELECT doc_id, {expr} AS z FROM s{i-1})"
+        for i, expr in enumerate(steps, start=1)
+    )
+    ws_class = "[ \t\n\x0b\x0c\r]+"
+    return f"""
+        WITH pw AS (SELECT [{pow_list}]::HUGEINT[] AS p, [{pw2_list}]::HUGEINT[] AS p2),
+        tk AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '{ws_class}'), x -> x <> '')) AS tok
+          FROM documents),
+        s0 AS (
+          SELECT doc_id,
+                 (strlen(tok)::HUGEINT * p[strlen(tok) + 1]
+                  + list_sum(list_transform(range(1, strlen(tok)::BIGINT + 1),
+                                            i -> ord(substr(tok, CAST(i AS INT), 1))::HUGEINT * p[strlen(tok) - i + 1]))
+                 ) % {_M64} AS z
+          FROM tk CROSS JOIN pw),
+        {step_ctes},
+        bits AS (
+          SELECT doc_id, i, sum((z // p2[i + 1]) % 2) AS ones, count(*) AS n
+          FROM s6 CROSS JOIN pw CROSS JOIN (SELECT unnest(range(64)) AS i)
+          GROUP BY 1, 2),
+        u AS (
+          SELECT b.doc_id,
+                 sum(CASE WHEN 2 * b.ones > b.n THEN p2[b.i + 1] ELSE 0::HUGEINT END) AS uh
+          FROM bits b CROSS JOIN pw
+          GROUP BY 1)
+        SELECT d.doc_id AS id,
+               CAST(CASE WHEN coalesce(u.uh, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+                         THEN coalesce(u.uh, 0::HUGEINT) - {_M64}
+                         ELSE coalesce(u.uh, 0::HUGEINT) END AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN u ON u.doc_id = d.doc_id
     """
 
 
@@ -396,4 +479,5 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "srp_topk_embeddings": _srp_oracle_sql(),
+        "simhash_docs": _simhash_oracle_sql(),
     }

@@ -68,20 +68,148 @@ def char_kgram_hashes(text: str, k: int) -> np.ndarray:
     return splitmix64(h)
 
 
-def token_hashes(text: str) -> np.ndarray:
-    """uint64 hash per whitespace token (for SimHash features)."""
-    toks = text.split()
-    if not toks:
-        return np.empty(0, dtype=_U64)
-    out = np.empty(len(toks), dtype=_U64)
+# modular inverse of the (odd) poly base mod 2^64, by Newton iteration:
+# x <- x*(2 - B*x) doubles correct bits each step
+def _mod_inverse_u64(b: np.uint64) -> np.uint64:
+    x = b  # correct to 3 bits
     with np.errstate(over="ignore"):
-        for i, t in enumerate(toks):
-            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(_U64)
-            acc = _U64(len(b))
-            for chunk in b:  # tokens are short; still cheap
-                acc = acc * _POLY_BASE + chunk
-            out[i] = acc
-    return splitmix64(out)
+        for _ in range(6):
+            x = x * (_U64(2) - b * x)
+    return x
+
+
+_POLY_BASE_INV = _mod_inverse_u64(_POLY_BASE)
+
+_WS_BYTES = np.zeros(256, dtype=bool)
+_WS_BYTES[[9, 10, 11, 12, 13, 32]] = True  # \t \n \v \f \r space
+
+# tokens longer than this fall off the vectorized padded-matrix path
+# (a lone megabyte "token" would make the matrix n_tokens x 1M)
+_LONG_TOKEN = 64
+
+
+def _poly_fold_padded(vals: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Polynomial fold over a right-zero-padded (n_tokens, maxlen) byte
+    matrix, then undo the padding: padding with zero bytes multiplies
+    the true hash by BASE^pad, and BASE is odd hence invertible mod
+    2^64, so hash = padded * BASE^-pad — batch-size-independent."""
+    n, maxlen = vals.shape
+    with np.errstate(over="ignore"):
+        acc = lengths.astype(_U64)  # length-prefixed: "a" != "a\0"
+        for j in range(maxlen):
+            acc = acc * _POLY_BASE + vals[:, j]
+        inv_pows = np.empty(maxlen + 1, dtype=_U64)
+        inv_pows[0] = _U64(1)
+        np.multiply.accumulate(
+            np.full(maxlen, _POLY_BASE_INV, dtype=_U64), out=inv_pows[1:]
+        )
+        acc *= inv_pows[maxlen - lengths]
+    return acc
+
+
+def token_hashes_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 token hashes for a whole Arrow batch at once.
+
+    Returns (flat_hashes, tokens_per_text).  Tokenization is
+    ASCII-whitespace runs over the UTF-8 bytes (one joined buffer, one
+    vectorized boundary scan — zero per-token Python); each token's
+    hash is the length-prefixed polynomial fold of its bytes, computed
+    for ALL tokens simultaneously via a padded byte matrix + modular
+    inverse correction (see _poly_fold_padded).  Tokens longer than
+    _LONG_TOKEN bytes (vanishingly rare in natural text) take a scalar
+    fallback so the matrix stays narrow.
+    """
+    counts = np.zeros(len(texts), dtype=np.int64)
+    if not texts:
+        return np.empty(0, dtype=_U64), counts
+    bufs = [t.encode("utf-8") for t in texts]
+    sizes = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+    # separator byte between texts so tokens never straddle a boundary
+    joined = np.frombuffer(b" ".join(bufs), dtype=np.uint8)
+    n = joined.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=_U64), counts
+    ws = _WS_BYTES[joined]
+    tok = ~ws
+    starts = np.flatnonzero(tok & np.r_[True, ws[:-1]])
+    ends = np.flatnonzero(tok & np.r_[ws[1:], True])  # inclusive
+    if starts.shape[0] == 0:
+        return np.empty(0, dtype=_U64), counts
+    # map token -> source text via the text start offsets
+    text_offs = np.zeros(len(bufs), dtype=np.int64)
+    np.cumsum(sizes[:-1] + 1, out=text_offs[1:])
+    owner = np.searchsorted(text_offs, starts, side="right") - 1
+    np.add.at(counts, owner, 1)
+
+    lengths = ends - starts + 1
+    out = np.empty(starts.shape[0], dtype=_U64)
+    short = lengths <= _LONG_TOKEN
+    if short.any():
+        s_start, s_len = starts[short], lengths[short]
+        maxlen = int(s_len.max())
+        idx = s_start[:, None] + np.arange(maxlen, dtype=np.int64)[None, :]
+        valid = idx <= (s_start + s_len - 1)[:, None]
+        vals = np.where(valid, joined[np.minimum(idx, n - 1)], 0).astype(_U64)
+        out[short] = _poly_fold_padded(vals, s_len)
+    if not short.all():
+        long_idx = np.flatnonzero(~short)
+        with np.errstate(over="ignore"):
+            for i in long_idx:
+                b = joined[starts[i] : ends[i] + 1].astype(_U64)
+                acc = _U64(lengths[i])
+                for c in b:
+                    acc = acc * _POLY_BASE + c
+                out[i] = acc
+    return splitmix64(out), counts
+
+
+def token_hashes(text: str) -> np.ndarray:
+    """uint64 hash per whitespace token (for SimHash features) — the
+    single-text view of token_hashes_batch (one definition, shared by
+    pipeline and brute-force oracles)."""
+    flat, _ = token_hashes_batch([text])
+    return flat
+
+
+def simhash_batch(texts: list[str], bits: int = 64,
+                  tile_tokens: int = 1 << 16) -> np.ndarray:
+    """int64 SimHash per text, fully batched: one token-hash pass, then
+    per-tile unpackbits + int32 reduceat over the bit matrix (the
+    ±1-sum sign test becomes 2*ones > n_tokens).  Texts with no tokens
+    hash to 0, matching simhash_from_features on an empty array."""
+    assert bits == 64, "batched kernel is 64-bit (uint64 carrier)"
+    flat, counts = token_hashes_batch(texts)
+    n_texts = len(texts)
+    out = np.zeros(n_texts, dtype=np.int64)
+    if flat.shape[0] == 0:
+        return out
+    doc_start = np.zeros(n_texts, dtype=np.int64)
+    np.cumsum(counts[:-1], out=doc_start[1:])
+    nz = np.flatnonzero(counts > 0)
+    ones = np.zeros((n_texts, 64), dtype=np.int64)
+    # tile over tokens so the unpacked (tokens x 64) matrix stays cache-sized;
+    # tiles are split on document boundaries so reduceat segments are whole
+    d = 0
+    while d < nz.shape[0]:
+        e = d
+        tok0 = doc_start[nz[d]]
+        while e < nz.shape[0] and doc_start[nz[e]] + counts[nz[e]] - tok0 <= tile_tokens:
+            e += 1
+        e = max(e, d + 1)  # a single huge doc still forms one tile
+        docs = nz[d:e]
+        lo = doc_start[docs[0]]
+        hi = doc_start[docs[-1]] + counts[docs[-1]]
+        bitmat = np.unpackbits(
+            flat[lo:hi].view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int32)
+        ones[docs] = np.add.reduceat(bitmat, doc_start[docs] - lo, axis=0)
+        d = e
+    is_set = (2 * ones[nz]) > counts[nz, None]
+    packed = (
+        is_set.astype(_U64) << np.arange(64, dtype=_U64)[None, :]
+    ).sum(axis=1, dtype=_U64)
+    out[nz] = packed.view(np.int64)
+    return out
 
 
 def minhash_signature(shingles: np.ndarray, seeds: np.ndarray) -> np.ndarray:

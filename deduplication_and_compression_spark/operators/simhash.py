@@ -114,18 +114,17 @@ def simhash_from_text(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 64,
 ) -> DataFrame:
     """(id, simhash): classic Charikar SimHash over whitespace-token
-    features — Arrow-batched, numpy inside.  Used for the documents
-    table near-dup tier and exposed as a standalone function."""
+    features — Arrow-batched, numpy inside, with ZERO per-row Python:
+    the whole batch's tokens are hashed in one padded-matrix polynomial
+    fold and the bit-vote sums come from one unpackbits+reduceat pass
+    (functions/hashing.py:simhash_batch)."""
 
     @F.pandas_udf(T.LongType())
     def _sh(texts: pd.Series) -> pd.Series:
-        out = [
-            H.simhash_from_features(H.token_hashes(t or ""), bits=bits)
-            for t in texts
-        ]
-        return pd.Series(out, dtype="int64")
+        return pd.Series(
+            H.simhash_batch(texts.fillna("").tolist()), dtype="int64"
+        )
 
     return df.select(F.col(id_col).alias("id"), _sh(F.col(text_col)).alias("simhash"))

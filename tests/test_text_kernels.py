@@ -5,9 +5,70 @@ from __future__ import annotations
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
+from deduplication_and_compression_spark.functions import hashing as H
 from deduplication_and_compression_spark.functions.text import (
     lcs_length, suffix_array, winnow_fingerprints,
 )
+
+
+def _scalar_token_hashes(text: str) -> np.ndarray:
+    """Independent per-token scalar reference for the batched kernel:
+    ASCII-whitespace split over UTF-8 bytes, length-prefixed polynomial
+    fold, splitmix64."""
+    ws = set(b"\t\n\x0b\x0c\r ")
+    buf = text.encode("utf-8")
+    toks, cur = [], []
+    for ch in buf:
+        if ch in ws:
+            if cur:
+                toks.append(bytes(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        toks.append(bytes(cur))
+    out = np.empty(len(toks), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(toks):
+            acc = np.uint64(len(t))
+            for c in t:
+                acc = acc * H._POLY_BASE + np.uint64(c)
+            out[i] = acc
+    return H.splitmix64(out)
+
+
+@given(st.lists(st.text(alphabet="abcdé漢 \t\n", max_size=80), max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_token_hashes_batch_matches_scalar(texts):
+    flat, counts = H.token_hashes_batch(texts)
+    assert counts.sum() == flat.shape[0]
+    pos = 0
+    for i, t in enumerate(texts):
+        ref = _scalar_token_hashes(t)
+        got = flat[pos : pos + counts[i]]
+        pos += counts[i]
+        assert ref.shape == got.shape and (ref == got).all(), repr(t)
+
+
+@given(st.lists(st.text(alphabet="abcdef \t", max_size=120), max_size=15))
+@settings(max_examples=40, deadline=None)
+def test_simhash_batch_matches_per_row_reference(texts):
+    got = H.simhash_batch(texts)
+    ref = np.array(
+        [H.simhash_from_features(_scalar_token_hashes(t)) for t in texts],
+        dtype=np.int64,
+    )
+    assert (got == ref).all()
+
+
+def test_token_hashes_long_token_fallback():
+    """Tokens past the vectorized width take the scalar path — outputs
+    must be identical either way."""
+    texts = ["x" * (H._LONG_TOKEN + 37) + " short", "y" * 500]
+    flat, counts = H.token_hashes_batch(texts)
+    assert counts.tolist() == [2, 1]
+    ref = np.concatenate([_scalar_token_hashes(t) for t in texts])
+    assert (flat == ref).all()
 
 
 def _naive_lcs(a: str, b: str) -> int:

@@ -101,9 +101,14 @@ def _base_pixels(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
 def _perturb_within_hamming(
     rng: np.random.Generator, pixels: np.ndarray, max_hamming: int
 ) -> np.ndarray:
-    """Low-amplitude noise with verified phash Hamming ≤ max_hamming."""
+    """Low-amplitude noise with verified phash Hamming ≤ max_hamming.
+
+    Amplitudes stay ≤ 1.5σ so every planted member also satisfies the
+    PSNR ≥ 40 dB per-row invariant (σ=1.5 → MSE ≈ 2.25 → ~44.6 dB;
+    σ=3 would plant ~38.6 dB pairs that violate the invariant the
+    pipeline tests assert)."""
     ref = phash64(pixels)
-    for amplitude in (3.0, 1.5, 0.75, 0.0):
+    for amplitude in (1.5, 0.75, 0.0):
         cand = (
             (pixels.astype(np.float64) + rng.normal(0, amplitude, size=pixels.shape))
             .clip(0, 255)
@@ -268,12 +273,17 @@ def generate_images(
     return images, tp
 
 
+# bump when generate_images' OUTPUT changes for the same (n, seed, cfg):
+# cached fixtures (bench .bench_cache) are keyed on this too
+GEN_VERSION = 2
+
+
 def write_fixture(
     out_dir: str | Path, n_rows: int, seed: int = 42, cfg: DedupConfig = DEFAULT_CONFIG
 ) -> tuple[Path, Path]:
     """Write images.parquet + truth_pairs.parquet; returns the paths.
     Idempotent: skips regeneration if both files already exist."""
-    out = Path(out_dir)
+    out = Path(str(out_dir) + f"_g{GEN_VERSION}")
     out.mkdir(parents=True, exist_ok=True)
     img_path = out / "images.parquet"
     tp_path = out / "truth_pairs.parquet"

@@ -283,6 +283,34 @@ def minhash_signatures_batch(
     return out
 
 
+def jaccard_batch(texts_a: "list[str]", texts_b: "list[str]", k: int) -> np.ndarray:
+    """Exact k-shingle Jaccard for a whole batch of (a, b) text pairs
+    with NO per-pair Python set ops: all shingle sets are concatenated
+    with their pair index and ONE global lexsort finds per-pair
+    duplicates (a value sorted adjacent within the same pair appears in
+    both sides, since each side is unique'd first); intersection sizes
+    then come from one bincount.  Two contentless texts score 0.0 (no
+    similarity evidence)."""
+    n = len(texts_a)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    ua = [np.unique(char_kgram_hashes(t or "", k)) for t in texts_a]
+    ub = [np.unique(char_kgram_hashes(t or "", k)) for t in texts_b]
+    na = np.fromiter((a.size for a in ua), dtype=np.int64, count=n)
+    nb = np.fromiter((b.size for b in ub), dtype=np.int64, count=n)
+    total = int(na.sum() + nb.sum())
+    if total == 0:
+        return np.zeros(n, dtype=np.float64)
+    cat = np.concatenate(ua + ub)
+    pid = np.concatenate([np.repeat(np.arange(n), na), np.repeat(np.arange(n), nb)])
+    order = np.lexsort((cat, pid))
+    sc, sp = cat[order], pid[order]
+    dup = (sp[1:] == sp[:-1]) & (sc[1:] == sc[:-1])
+    inter = np.bincount(sp[1:][dup], minlength=n)
+    union = na + nb - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+
+
 def band_hashes(signature: np.ndarray, bands: int, rows: int) -> np.ndarray:
     """Hash each band of ``rows`` consecutive signature lanes to one
     uint64 bucket key.  signature: uint64[(n, bands*rows)] or

@@ -27,7 +27,7 @@ Dataflow (all sizes are per 10^12-row scale reasoning):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 from ..config import DedupConfig, DEFAULT_CONFIG
 from ..functions import hashing as H
@@ -66,8 +66,13 @@ def band_keys(sig_df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame
     # all-max sentinel signature (-1 in every int64 lane): they have no
     # caption evidence and must NOT band together — at web scale the
     # empty-caption flood would otherwise form one giant bogus bucket.
+    # _vhash (hash of the FULL signature) drives the value collapse in
+    # candidate_pairs_from_buckets: identical signatures in a hot bucket
+    # collapse to one representative.
     return sig_df.filter(F.col("sig")[0] != F.lit(-1)).select(
-        "id", F.posexplode(F.array(*bands)).alias("band_idx", "band_hash")
+        "id",
+        F.posexplode(F.array(*bands)).alias("band_idx", "band_hash"),
+        F.xxhash64("sig").alias("_vhash"),
     )
 
 
@@ -75,12 +80,25 @@ def candidate_pairs_from_buckets(
     bucketed: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
     key_cols: tuple[str, ...] = ("band_idx", "band_hash"),
+    val_col: str | None = None,
 ) -> DataFrame:
     """Generic skew-aware bucket → candidate (a,b) pair generation.
 
-    Used by the LSH, SimHash and substring tiers.  Three regimes by
-    bucket size k (north_rule: "salted-shuffle candidate-pair
-    generation ... skew handled explicitly"):
+    Used by the LSH, SimHash and substring tiers.
+
+    Step 1 — VALUE COLLAPSE (when ``val_col`` names a full-payload hash
+    column, e.g. the phash itself or xxhash64 of the signature/text):
+    members of a bucket with identical payloads are collapsed to their
+    min-id representative, emitting (rep, member) star edges.  Those
+    edges are verify-trivial — identical payloads have distance 0 /
+    Jaccard 1 — so downstream verification can NEVER sever them.  This
+    is what makes the web-scale hot-bucket case (an exact-dup flood:
+    flat images, boilerplate captions) EXACT instead of approximate:
+    the flood collapses to a handful of representatives.
+
+    Step 2 — three regimes over the (collapsed) representatives, by
+    distinct-value bucket size k (north_rule: "salted-shuffle
+    candidate-pair generation ... skew handled explicitly"):
 
       k ≤ salt_floor            plain self-join on the bucket key —
                                  uniform small buckets, no skew
@@ -91,21 +109,44 @@ def candidate_pairs_from_buckets(
                                  shuffle partitions instead of one
                                  straggler task (s = cfg.salt_buckets);
                                  every pair still appears exactly once
-      k > hot                    star pairs around the bucket's min id:
-                                 O(k) instead of O(k²), identical
-                                 connected-component structure (a hot
-                                 bucket at web scale is an exact-dup
-                                 flood whose members are mutually
-                                 similar)
+      k > hot                    star pairs around the bucket's min rep:
+                                 O(k) instead of O(k²)
+
+    Exactness: any true pair (x, y) sharing a bucket is connected
+    through emitted verified edges — x–rep(x) and y–rep(y) at distance
+    0, and (rep(x), rep(y)) has the same distance as (x, y) so it
+    verifies whenever (x, y) would — PROVIDED the bucket holds at most
+    ``hot_bucket_threshold`` DISTINCT payload values.  Beyond that the
+    star-over-reps regime is a documented approximation: an edge
+    (min-rep, r) with distance > threshold is dropped by verification
+    and can sever r's members from the bucket's component.  Without
+    ``val_col`` the collapse is skipped and the regimes apply to raw
+    members (the pre-collapse behavior — approximate for ANY hot
+    bucket, not just payload-diverse ones).
 
     AQE skew-join mops up residual imbalance in the size-tag join.
     """
     keys = [F.col(c) for c in key_cols]
-    sizes = bucketed.groupBy(*keys).agg(
+
+    if val_col is not None:
+        w = Window.partitionBy(*key_cols, val_col)
+        tagged_v = bucketed.withColumn("_rep", F.min("id").over(w))
+        # star edges inside each identical-payload group (rep = min id,
+        # so rep < id always: pairs are already (a<b)-normalized)
+        intra = (
+            tagged_v.where(F.col("id") != F.col("_rep"))
+            .select(F.col("_rep").alias("a"), F.col("id").alias("b"))
+        )
+        reps = tagged_v.where(F.col("id") == F.col("_rep")).select(*key_cols, "id")
+    else:
+        intra = None
+        reps = bucketed.select(*key_cols, "id")
+
+    sizes = reps.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("_bsz"), F.min("id").alias("_bmin")
     ).filter(F.col("_bsz") > 1)
 
-    tagged = bucketed.join(sizes, list(key_cols))
+    tagged = reps.join(sizes, list(key_cols))
     salt_floor = max(2, cfg.hot_bucket_threshold // 4)
     s = cfg.salt_buckets
 
@@ -136,12 +177,10 @@ def candidate_pairs_from_buckets(
             F.least("id", "_bmin").alias("a"), F.greatest("id", "_bmin").alias("b")
         )
     )
-    return (
-        small_pairs.select("a", "b")
-        .union(medium_pairs.select("a", "b"))
-        .union(hot_pairs)
-        .dropDuplicates(["a", "b"])
-    )
+    out = small_pairs.select("a", "b").union(medium_pairs.select("a", "b")).union(hot_pairs)
+    if intra is not None:
+        out = out.union(intra)
+    return out.dropDuplicates(["a", "b"])
 
 
 def verify_jaccard(
@@ -160,14 +199,12 @@ def verify_jaccard(
 
     @F.pandas_udf(T.DoubleType())
     def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = []
-        for x, y in zip(ta.fillna(""), tb.fillna("")):
-            sa = set(H.char_kgram_hashes(x, k).tolist())
-            sb = set(H.char_kgram_hashes(y, k).tolist())
-            u = len(sa | sb)
-            # two contentless captions are NOT similarity evidence
-            out.append(len(sa & sb) / u if u else 0.0)
-        return pd.Series(out, dtype="float64")
+        # one lexsort+bincount pass for the whole Arrow batch — no
+        # per-pair Python set ops (functions/hashing.py:jaccard_batch)
+        return pd.Series(
+            H.jaccard_batch(ta.fillna("").tolist(), tb.fillna("").tolist(), k),
+            dtype="float64",
+        )
 
     joined = (
         candidates.join(texts.withColumnRenamed("_tid", "a").withColumnRenamed("_txt", "_ta"), "a")
@@ -201,7 +238,7 @@ def minhash_pairs(
     if sigs is None:
         sigs = minhash_signatures(df, cfg, id_col, text_col).localCheckpoint()
     buckets = band_keys(sigs, cfg)
-    cands = candidate_pairs_from_buckets(buckets, cfg)
+    cands = candidate_pairs_from_buckets(buckets, cfg, val_col="_vhash")
     cands = estimate_filter(cands, sigs, cfg)
     return verify_jaccard(cands, df, cfg, id_col, text_col)
 

@@ -60,6 +60,7 @@ def hamming_block_keys(
     # column through a 56-way explode.
     blocks = df.select(
         F.col(id_col).alias("id"),
+        F.col(hash_col).alias("_vhash"),  # full phash drives value collapse
         *[_block(F.col(hash_col), i).alias(f"_b{i}") for i in range(m)],
     )
     cols = [
@@ -67,7 +68,7 @@ def hamming_block_keys(
         for ci, combo in enumerate(combos)
     ]
     return blocks.select(
-        "id", F.posexplode(F.array(*cols)).alias("band_idx", "band_hash")
+        "id", F.posexplode(F.array(*cols)).alias("band_idx", "band_hash"), "_vhash"
     )
 
 
@@ -100,13 +101,20 @@ def phash_hamming_pairs(
 ) -> DataFrame:
     """Full image tier: (a, b, hamming) pairs with Hamming ≤ d.
 
-    Exact (no false negatives) for pairs within distance d, by the
-    pigeonhole guarantee; false positives pruned by verify_hamming.
+    No false negatives — pigeonhole guarantees every ≤d pair shares a
+    bucket, and the value collapse keeps hot buckets exact: identical
+    phashes star around a distance-0 representative that verification
+    can never sever, while the distinct-value representatives go
+    through all-pairs/salted regimes.  The only approximation is a
+    bucket with more than cfg.hot_bucket_threshold DISTINCT phash
+    values (star-over-reps; edges whose reps are > d apart are dropped
+    there — see candidate_pairs_from_buckets).  False positives pruned
+    by verify_hamming.
     """
     # materialize: the candidate generator consumes the key table in
     # three branches; without this the 56-way explode runs three times
     keys = hamming_block_keys(df, cfg, id_col, hash_col).localCheckpoint()
-    cands = candidate_pairs_from_buckets(keys, cfg)
+    cands = candidate_pairs_from_buckets(keys, cfg, val_col="_vhash")
     return verify_hamming(cands, df, cfg, id_col, hash_col)
 
 

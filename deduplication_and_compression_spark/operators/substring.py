@@ -44,6 +44,9 @@ def winnow_keys(
         F.col(id_col).alias("id"),
         F.lit(0).alias("band_idx"),
         F.explode(_fp(F.col(text_col))).alias("band_hash"),
+        # full-text hash: identical captions collapse to one rep in hot
+        # fingerprint buckets (boilerplate floods stay exact)
+        F.xxhash64(F.col(text_col)).alias("_vhash"),
     )
 
 
@@ -88,5 +91,5 @@ def substring_pairs(
     UDF per branch of the candidate generator (see minhash_pairs)."""
     if keys is None:
         keys = winnow_keys(df, cfg, id_col, text_col).localCheckpoint()
-    cands = candidate_pairs_from_buckets(keys, cfg)
+    cands = candidate_pairs_from_buckets(keys, cfg, val_col="_vhash")
     return verify_substring(cands, df, cfg, id_col, text_col)

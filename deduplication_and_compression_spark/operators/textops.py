@@ -106,7 +106,36 @@ def word_bigrams(df: DataFrame) -> DataFrame:
     )
 
 
-def bigram_jaccard_pairs(df: DataFrame, threshold_bp: int = 5000) -> DataFrame:
+def bigram_jaccard_pairs_auto(df: DataFrame, threshold_bp: int = 5000) -> DataFrame:
+    """Cost-based choice between the two EXACT Jaccard join plans
+    (identical output, same oracle):
+
+    - prefix-filtered (PPJoin) wins on realistic Zipfian text, where
+      most tokens are rare and the prefix self-join prunes candidate
+      volume by orders of magnitude;
+    - the naive all-token join wins on tiny-vocabulary corpora (no
+      rare tokens => the prefix filter prunes nothing and its
+      collect/sort/array_intersect overhead is pure loss).
+
+    The discriminator is vocabulary size vs corpus size: with
+    |vocab| >= |docs| a Zipf long tail of rare tokens exists and
+    prefix filtering pays; far below that every posting list is dense
+    and quadratic-per-token is unavoidable anyway.  One cheap
+    aggregation over the (already materialized) bigram table decides —
+    the same shape as a Catalyst cost-based plan pick.
+    """
+    bg = word_bigrams(df).localCheckpoint()
+    stats = bg.agg(
+        F.approx_count_distinct("bigram").alias("v"),
+        F.approx_count_distinct("doc_id").alias("d"),
+    ).collect()[0]
+    if stats["v"] >= stats["d"]:
+        return bigram_jaccard_pairs(df, threshold_bp, bg=bg)
+    return bigram_jaccard_pairs_allpairs(df, threshold_bp, bg=bg)
+
+
+def bigram_jaccard_pairs(df: DataFrame, threshold_bp: int = 5000,
+                         bg: DataFrame | None = None) -> DataFrame:
     """(a, b, jaccard_bp): word-bigram Jaccard ≥ threshold, a<b.
 
     Exact similarity join with PREFIX FILTERING (Chaudhuri et al.
@@ -122,7 +151,8 @@ def bigram_jaccard_pairs(df: DataFrame, threshold_bp: int = 5000) -> DataFrame:
     """
     t = threshold_bp / 10000.0
     # materialize: bg feeds frequencies, prefixes and the arrays
-    bg = word_bigrams(df).localCheckpoint()
+    if bg is None:
+        bg = word_bigrams(df).localCheckpoint()
     freq = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("_gf"))
     docs = (
         bg.join(freq, "bigram")
@@ -164,14 +194,17 @@ def bigram_jaccard_pairs(df: DataFrame, threshold_bp: int = 5000) -> DataFrame:
     )
 
 
-def bigram_jaccard_pairs_allpairs(df: DataFrame, threshold_bp: int = 5000) -> DataFrame:
+def bigram_jaccard_pairs_allpairs(df: DataFrame, threshold_bp: int = 5000,
+                                  bg: DataFrame | None = None) -> DataFrame:
     """Naive exact variant: self-join on EVERY bigram.  Faster than the
     prefix-filtered join only on degenerate tiny-vocabulary corpora
     (like the driver fixture: 931 distinct bigrams, so there are no
     rare tokens for the prefix filter to exploit); on realistic
     Zipfian text the prefix-filtered version wins by orders of
-    magnitude.  Both produce identical output."""
-    bg = word_bigrams(df).localCheckpoint()
+    magnitude.  Both produce identical output — use
+    bigram_jaccard_pairs_auto for the cost-based pick."""
+    if bg is None:
+        bg = word_bigrams(df).localCheckpoint()
     sizes = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         bg.alias("x")

@@ -68,11 +68,16 @@ def band_keys(sig_df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame
     # empty-caption flood would otherwise form one giant bogus bucket.
     # _vhash (hash of the FULL signature) drives the value collapse in
     # candidate_pairs_from_buckets: identical signatures in a hot bucket
-    # collapse to one representative.
-    return sig_df.filter(F.col("sig")[0] != F.lit(-1)).select(
-        "id",
-        F.posexplode(F.array(*bands)).alias("band_idx", "band_hash"),
-        F.xxhash64("sig").alias("_vhash"),
+    # collapse to one representative.  It MUST be materialized in a
+    # select BEFORE the explode: Spark's Generate re-evaluates sibling
+    # non-attribute expressions per OUTPUT row, so an inline
+    # xxhash64(sig) would hash the 128-lane array once per band
+    # (measured 40x slower on this stage).
+    pre = sig_df.filter(F.col("sig")[0] != F.lit(-1)).select(
+        "id", "sig", F.xxhash64("sig").alias("_vhash")
+    )
+    return pre.select(
+        "id", "_vhash", F.posexplode(F.array(*bands)).alias("band_idx", "band_hash")
     )
 
 
@@ -130,7 +135,11 @@ def candidate_pairs_from_buckets(
 
     if val_col is not None:
         w = Window.partitionBy(*key_cols, val_col)
-        tagged_v = bucketed.withColumn("_rep", F.min("id").over(w))
+        # materialize the collapse ONCE: intra, sizes, the tag join and
+        # all three regimes consume it, and an un-materialized window
+        # sort upstream would re-run per branch (measured 5x on the
+        # simhash tier's 56-key explode)
+        tagged_v = bucketed.withColumn("_rep", F.min("id").over(w)).localCheckpoint()
         # star edges inside each identical-payload group (rep = min id,
         # so rep < id always: pairs are already (a<b)-normalized)
         intra = (

@@ -99,17 +99,21 @@ def phash_hamming_pairs(
     id_col: str = "image_id",
     hash_col: str = "phash",
 ) -> DataFrame:
-    """Full image tier: (a, b, hamming) pairs with Hamming ≤ d.
+    """Full image tier: verified (a, b, hamming) edges with Hamming ≤ d.
 
-    No false negatives — pigeonhole guarantees every ≤d pair shares a
-    bucket, and the value collapse keeps hot buckets exact: identical
-    phashes star around a distance-0 representative that verification
-    can never sever, while the distinct-value representatives go
-    through all-pairs/salted regimes.  The only approximation is a
-    bucket with more than cfg.hot_bucket_threshold DISTINCT phash
-    values (star-over-reps; edges whose reps are > d apart are dropped
-    there — see candidate_pairs_from_buckets).  False positives pruned
-    by verify_hamming.
+    Contract: a CLUSTER-PRESERVING edge set, not the full ≤d pair
+    enumeration — identical-phash groups contribute O(k) star edges
+    rather than O(k²) pairs (their closure is identical, and a k-clique
+    enumeration would be quadratic output at web scale).  Every true
+    ≤d pair is connected through emitted verified edges: pigeonhole
+    guarantees bucket sharing, identical phashes star around a
+    distance-0 representative that verification can never sever, and
+    distinct-value representatives go through all-pairs/salted
+    regimes.  The only approximation is a bucket with more than
+    cfg.hot_bucket_threshold DISTINCT phash values (star-over-reps;
+    rep edges > d apart are dropped there — see
+    candidate_pairs_from_buckets).  False positives pruned by
+    verify_hamming.
     """
     # materialize: the candidate generator consumes the key table in
     # three branches; without this the 56-way explode runs three times

@@ -40,13 +40,20 @@ def winnow_keys(
             [u64_to_i64(winnow_fingerprints(t or "", L)).tolist() for t in texts]
         )
 
-    return df.select(
+    # full-text hash: identical captions collapse to one rep in hot
+    # fingerprint buckets (boilerplate floods stay exact).  Materialized
+    # pre-explode — Generate re-evaluates sibling expressions per
+    # output row (see band_keys).
+    pre = df.select(
         F.col(id_col).alias("id"),
-        F.lit(0).alias("band_idx"),
-        F.explode(_fp(F.col(text_col))).alias("band_hash"),
-        # full-text hash: identical captions collapse to one rep in hot
-        # fingerprint buckets (boilerplate floods stay exact)
+        F.col(text_col).alias("_txt"),
         F.xxhash64(F.col(text_col)).alias("_vhash"),
+    )
+    return pre.select(
+        "id",
+        F.lit(0).alias("band_idx"),
+        F.explode(_fp(F.col("_txt"))).alias("band_hash"),
+        "_vhash",
     )
 
 

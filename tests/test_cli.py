@@ -1,0 +1,47 @@
+"""End-to-end spark-submit entrypoint: main.main() on a tmp fixture.
+
+Covers the reference's CLI analog (/root/reference/Server/encoder.cpp:
+492-511 parses -b/-f and runs the encode loop; here argparse + the
+tiered pipeline + the one-line JSON accounting report).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+import main as cli
+from deduplication_and_compression_spark.config import DEFAULT_CONFIG
+from deduplication_and_compression_spark.fixtures.generator import write_fixture
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    img_path, _ = write_fixture(tmp_path / "fx", 200, seed=13)
+    out_dir = tmp_path / "out"
+    cli.main([
+        "--input", str(img_path),
+        "--output", str(out_dir),
+        "--tiers", "exact,minhash",
+        "--no-resume",
+    ])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["rows_total"] == 200
+    assert 0 < report["rows_unique"] <= 200
+    assert report["bytes_after_dedup"] <= report["bytes_total"]
+    assert 0.0 <= report["compression_pct"] < 100.0
+    assert report["config_fingerprint"] == DEFAULT_CONFIG.fingerprint()
+    # checkpoint layout written under --output
+    for stage in ("chk_pairs_exact", "chk_pairs_minhash", "chk_assignments",
+                  "chk_cc_labels", "metrics"):
+        assert (out_dir / stage).exists(), stage
+
+
+def test_cli_rejects_unknown_tier(spark, tmp_path):
+    img_path, _ = write_fixture(tmp_path / "fx2", 50, seed=14)
+    with pytest.raises(ValueError, match="unknown tiers"):
+        cli.main([
+            "--input", str(img_path),
+            "--output", str(tmp_path / "out2"),
+            "--tiers", "exact,bogus",
+        ])

@@ -83,3 +83,36 @@ def test_substring_tier_recall(substring_pairs_got, fixture_pdf, cfg):
     got = transitive_closure_pairs(substring_pairs_got)
     recall = len(planted & got) / len(planted)
     assert recall >= 0.99, f"substring tier recall {recall:.4f}"
+
+
+def test_hot_bucket_far_from_hub_members_not_severed(spark, cfg):
+    """Adversarial hot bucket (ADVICE r1): >hot_bucket_threshold members
+    share every bucket, but many sit FARTHER than d from the bucket-min
+    member.  A bare star-around-min would emit only (min, x) edges and
+    verification would sever every far member; the value collapse must
+    keep the closure equal to the brute-force oracle closure."""
+    import pandas as pd
+
+    base = 0x0123_4567_89AB_CDEF
+    rows = []
+    n_per = 20  # 4 values x 20 members = 80 > hot_bucket_threshold (64)
+    # g0 (the min-id group, i.e. the star hub) is Hamming 4 (> d=3)
+    # from g2 and g3; only g1 bridges everything at distance 2.  All
+    # four values differ from base in block 0 only, so they share all
+    # C(7,5) = 21 buckets keyed on blocks 1-7 → one 80-member hot bucket.
+    values = [base ^ 0b11, base, base ^ 0b1100, base ^ 0b110000]
+    for vi, v in enumerate(values):
+        for m in range(n_per):
+            rows.append((f"g{vi}_m{m:02d}", np.int64(np.uint64(v).astype(np.int64))))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["image_id", "phash"]))
+    got = pairs_set(phash_hamming_pairs(df, cfg).toPandas())
+    ids = [r[0] for r in rows]
+    ph = np.array([r[1] for r in rows], dtype=np.int64)
+    oracle = set()
+    for i in range(len(ids)):
+        d = H.hamming64(np.full(len(ids) - i - 1, ph[i]), ph[i + 1:])
+        for j in np.flatnonzero(d <= cfg.hamming_threshold):
+            jj = i + 1 + j
+            oracle.add((min(ids[i], ids[jj]), max(ids[i], ids[jj])))
+    assert got <= oracle  # verified → no false positives
+    assert transitive_closure_pairs(got) == transitive_closure_pairs(oracle)

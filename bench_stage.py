@@ -10,10 +10,12 @@ stages behave very differently on this sandbox's saturated memory bus,
 and a single pipeline-wall number hides that (VERDICT r1 asked for
 per-stage walls at both parallelism levels).
 
-Each stage's input is localCheckpoint-materialized before its timer
-starts, so a stage wall measures that stage only.  Prints one JSON
-line: {"cores", "rows", "stages": {name: wall_sec}, "rows_per_sec":
-signature-stage throughput (back-compat for the headline number)}.
+Each stage's input is materialized to a parquet(zstd) checkpoint table
+before its timer starts — exactly how the real pipeline's
+_Checkpointer hands stages to each other — so a stage wall measures
+that stage only.  Prints one JSON line: {"cores", "rows", "stages":
+{name: wall_sec}, "rows_per_sec": signature+banding throughput (the
+headline number)}.
 """
 
 from __future__ import annotations
@@ -53,6 +55,7 @@ from deduplication_and_compression_spark.session import build_session
 def main() -> None:
     cores = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    mode = sys.argv[3] if len(sys.argv) > 3 else "all"  # all | sig
     cache = REPO / ".bench_cache" / f"images_100000_seed42_{CFG.fingerprint()}"
     img_path, _ = write_fixture(cache, 100_000, seed=42, cfg=CFG)
 
@@ -75,49 +78,76 @@ def main() -> None:
         stages[name] = round(time.perf_counter() - t0, 2)
         return out
 
+    import shutil
+    work = Path(tempfile.mkdtemp(prefix="stage_bench_"))
+
+    def mat(df_, name):
+        """Materialize a stage output the way the real pipeline does:
+        a parquet(zstd) checkpoint table, re-read so the next stage's
+        lineage starts at the table (plans/pipeline.py _Checkpointer).
+        localCheckpoint would store row objects (measured 9x slower
+        than the columnar write at 12.8M rows on this host)."""
+        path = str(work / name)
+        df_.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    if mode == "sig":
+        # headline metric only (signature UDF + JVM banding at replicated
+        # scale, so fixed stage latency amortizes — same methodology as
+        # the round-1 ≥0.8 gate)
+        sigs = timed("signature", lambda: mat(minhash_signatures(df, CFG), "sigs"))
+        timed("banding", lambda: mat(band_keys(sigs, CFG), "bands"))
+        wall = stages["signature"] + stages["banding"]
+        print(json.dumps({
+            "cores": cores, "rows": n, "stages": stages,
+            "total_sec": round(wall, 2), "wall_sec": round(wall, 2),
+            "rows_per_sec": round(n / wall, 1),
+        }))
+        spark.stop()
+        return
+
     # --- MinHash tier, stage by stage (inputs pre-materialized) ---
-    sigs = timed("signature", lambda: minhash_signatures(df, CFG).localCheckpoint())
-    bands = timed("banding", lambda: band_keys(sigs, CFG).localCheckpoint())
+    sigs = timed("signature", lambda: mat(minhash_signatures(df, CFG), "sigs"))
+    bands = timed("banding", lambda: mat(band_keys(sigs, CFG), "bands"))
     cands = timed(
         "pairgen",
-        lambda: candidate_pairs_from_buckets(bands, CFG, val_col="_vhash")
-        .localCheckpoint(),
+        lambda: mat(candidate_pairs_from_buckets(bands, CFG, val_col="_vhash"), "cands"),
     )
     est = timed(
-        "estimate_filter", lambda: estimate_filter(cands, sigs, CFG).localCheckpoint()
+        "estimate_filter", lambda: mat(estimate_filter(cands, sigs, CFG), "est")
     )
     mh_pairs = timed(
         "verify_jaccard",
-        lambda: verify_jaccard(est, df, CFG).select("a", "b").localCheckpoint(),
+        lambda: mat(verify_jaccard(est, df, CFG).select("a", "b"), "mh_pairs"),
     )
 
     # --- other tiers end-to-end ---
-    ex_pairs = timed("exact_tier", lambda: exact_pairs(df).localCheckpoint())
+    ex_pairs = timed("exact_tier", lambda: mat(exact_pairs(df), "ex_pairs"))
     sh_pairs = timed(
         "simhash_tier",
-        lambda: phash_hamming_pairs(df, CFG).select("a", "b").localCheckpoint(),
+        lambda: mat(phash_hamming_pairs(df, CFG).select("a", "b"), "sh_pairs"),
     )
     ss_pairs = timed(
         "substring_tier",
-        lambda: substring_pairs(df, CFG).select("a", "b").localCheckpoint(),
+        lambda: mat(substring_pairs(df, CFG).select("a", "b"), "ss_pairs"),
     )
 
     # --- graph + sink ---
     pairs = timed(
         "pairs_union",
-        lambda: union_pairs(
+        lambda: mat(union_pairs(
             exact=ex_pairs, minhash=mh_pairs, simhash=sh_pairs, substring=ss_pairs
-        ).localCheckpoint(),
+        ), "pairs"),
     )
     labels = timed(
-        "connected_components", lambda: connected_components(pairs, CFG).localCheckpoint()
+        "connected_components", lambda: mat(connected_components(pairs, CFG), "labels")
     )
-    sink_dir = tempfile.mkdtemp() + "/assignments"
     timed(
         "assign_sink",
         lambda: assignments_from_labels(df, labels)
-        .write.mode("overwrite").parquet(sink_dir),
+        .write.mode("overwrite").parquet(str(work / "assignments")),
     )
+    shutil.rmtree(work, ignore_errors=True)
 
     total = round(sum(stages.values()), 2)
     print(json.dumps({

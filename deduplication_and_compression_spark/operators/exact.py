@@ -48,7 +48,7 @@ def exact_pairs(df: DataFrame, id_col: str = "image_id",
     twice — at 100 TB that is two full passes over the payload column.
     """
     hashed = (
-        with_content_hash(df, cols).select("content_hash", id_col).localCheckpoint()
+        with_content_hash(df, cols).select("content_hash", id_col).persist()
     )
     reps = hashed.groupBy("content_hash").agg(
         F.min(id_col).alias("rep"), F.count(F.lit(1)).alias("members")
@@ -71,7 +71,7 @@ def exact_assignments(df: DataFrame, id_col: str = "image_id",
     duplicate → reference to first occurrence
     (/root/reference/App/Host.cpp:174-190)."""
     hashed = (
-        with_content_hash(df, cols).select("content_hash", id_col).localCheckpoint()
+        with_content_hash(df, cols).select("content_hash", id_col).persist()
     )
     reps = hashed.groupBy("content_hash").agg(F.min(id_col).alias("representative_id"))
     return (

@@ -135,11 +135,13 @@ def candidate_pairs_from_buckets(
 
     if val_col is not None:
         w = Window.partitionBy(*key_cols, val_col)
-        # materialize the collapse ONCE: intra, sizes, the tag join and
-        # all three regimes consume it, and an un-materialized window
-        # sort upstream would re-run per branch (measured 5x on the
-        # simhash tier's 56-key explode)
-        tagged_v = bucketed.withColumn("_rep", F.min("id").over(w)).localCheckpoint()
+        # cache the collapse ONCE (columnar persist, spillable): intra,
+        # sizes, the tag join and all three regimes consume it, and an
+        # un-materialized window sort upstream would re-run per branch
+        # (measured up to 5x on the simhash tier's 56-key explode);
+        # localCheckpoint is the wrong tool here — it stores row
+        # objects, ~9x slower than columnar at millions of rows
+        tagged_v = bucketed.withColumn("_rep", F.min("id").over(w)).persist()
         # star edges inside each identical-payload group (rep = min id,
         # so rep < id always: pairs are already (a<b)-normalized)
         intra = (
@@ -245,7 +247,7 @@ def minhash_pairs(
     run three times.
     """
     if sigs is None:
-        sigs = minhash_signatures(df, cfg, id_col, text_col).localCheckpoint()
+        sigs = minhash_signatures(df, cfg, id_col, text_col).persist()
     buckets = band_keys(sigs, cfg)
     cands = candidate_pairs_from_buckets(buckets, cfg, val_col="_vhash")
     cands = estimate_filter(cands, sigs, cfg)

@@ -117,7 +117,7 @@ def phash_hamming_pairs(
     """
     # materialize: the candidate generator consumes the key table in
     # three branches; without this the 56-way explode runs three times
-    keys = hamming_block_keys(df, cfg, id_col, hash_col).localCheckpoint()
+    keys = hamming_block_keys(df, cfg, id_col, hash_col).persist()
     cands = candidate_pairs_from_buckets(keys, cfg, val_col="_vhash")
     return verify_hamming(cands, df, cfg, id_col, hash_col)
 

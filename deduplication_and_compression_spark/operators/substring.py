@@ -97,6 +97,6 @@ def substring_pairs(
     """Pass pre-materialized ``keys`` to avoid re-running the winnowing
     UDF per branch of the candidate generator (see minhash_pairs)."""
     if keys is None:
-        keys = winnow_keys(df, cfg, id_col, text_col).localCheckpoint()
+        keys = winnow_keys(df, cfg, id_col, text_col).persist()
     cands = candidate_pairs_from_buckets(keys, cfg, val_col="_vhash")
     return verify_substring(cands, df, cfg, id_col, text_col)

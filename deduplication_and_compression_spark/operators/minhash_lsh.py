@@ -134,21 +134,27 @@ def candidate_pairs_from_buckets(
     keys = [F.col(c) for c in key_cols]
 
     if val_col is not None:
-        w = Window.partitionBy(*key_cols, val_col)
-        # cache the collapse ONCE (columnar persist, spillable): intra,
-        # sizes, the tag join and all three regimes consume it, and an
-        # un-materialized window sort upstream would re-run per branch
-        # (measured up to 5x on the simhash tier's 56-key explode);
-        # localCheckpoint is the wrong tool here — it stores row
-        # objects, ~9x slower than columnar at millions of rows
-        tagged_v = bucketed.withColumn("_rep", F.min("id").over(w)).persist()
+        # collapse via groupBy, NOT a window: the partial (map-side)
+        # aggregation shrinks an exact-dup flood BEFORE it shuffles —
+        # a window sort would shuffle every member row.  The group
+        # table is tiny on flood-heavy data, so Catalyst/AQE turns the
+        # member-tag join into a broadcast; persist() because intra
+        # and the three regimes both consume it.
+        grp = (
+            bucketed.groupBy(*key_cols, val_col)
+            .agg(F.min("id").alias("_rep"), F.count(F.lit(1)).alias("_gsz"))
+            .persist()
+        )
         # star edges inside each identical-payload group (rep = min id,
-        # so rep < id always: pairs are already (a<b)-normalized)
+        # so rep < id always: pairs are already (a<b)-normalized); only
+        # multi-member groups need their members tagged at all
+        multi = grp.filter(F.col("_gsz") > 1).select(*key_cols, val_col, "_rep")
         intra = (
-            tagged_v.where(F.col("id") != F.col("_rep"))
+            bucketed.join(multi, list(key_cols) + [val_col])
+            .where(F.col("id") != F.col("_rep"))
             .select(F.col("_rep").alias("a"), F.col("id").alias("b"))
         )
-        reps = tagged_v.where(F.col("id") == F.col("_rep")).select(*key_cols, "id")
+        reps = grp.select(*key_cols, F.col("_rep").alias("id"))
     else:
         intra = None
         reps = bucketed.select(*key_cols, "id")

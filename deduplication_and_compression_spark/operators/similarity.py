@@ -16,7 +16,14 @@ import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.hashing import make_seeds, splitmix64
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, dot, norm
+
+# Norms are hoisted: each side of a pair join carries a precomputed
+# per-vector norm column and the per-pair expression is dot/(na*nb) —
+# bit-identical to cosine() (same fold, same sqrt, same values) but
+# evaluated once per VECTOR instead of twice per PAIR.  Higher-order
+# array functions are interpreted per row in Spark, so on an O(n²) or
+# bucket join this hoist removes two-thirds of the array folds.
 
 
 def cosine_neighbor_stats(
@@ -30,13 +37,15 @@ def cosine_neighbor_stats(
     cosine of neighbors with cos ≥ threshold (self excluded).
     Deterministic → oracle-comparable."""
     q = emb.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
     joined = F.broadcast(q).crossJoin(
-        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
+                   norm(F.col(vec_col)).alias("_nn"))
     )
     scored = joined.where(F.col("query_id") != F.col("neighbor_id")).withColumn(
-        "cos", cosine(F.col("qv"), F.col("nv"))
+        "cos", dot(F.col("qv"), F.col("nv")) / (F.col("_qn") * F.col("_nn"))
     )
     return (
         scored.where(F.col("cos") >= threshold)
@@ -59,12 +68,14 @@ def embedding_cosine_pairs(
     for oracle parity; the SRP-bucketed variant below is the 10^12-row
     path (bucket join instead of cross join).  cos floored to basis
     points for engine-stable comparison."""
-    left = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
-    right = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    left = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"),
+                      norm(F.col(vec_col)).alias("_na"))
+    right = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"),
+                       norm(F.col(vec_col)).alias("_nb"))
     return (
         left.crossJoin(right)
         .where(F.col("a") < F.col("b"))
-        .withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
+        .withColumn("cos", dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
         .where(F.col("cos") >= threshold)
         .select(
             "a", "b", F.floor(F.col("cos") * 10000.0).cast("long").alias("cos_bp")
@@ -83,12 +94,14 @@ def brute_force_topk(
     queries defaults to the whole table (all-pairs top-k)."""
     if queries is None:
         queries = emb
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    n = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                       norm(F.col(vec_col)).alias("_qn"))
+    n = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
+                   norm(F.col(vec_col)).alias("_nn"))
     scored = (
         F.broadcast(q).crossJoin(n)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+        .withColumn("cos", dot(F.col("qv"), F.col("nv")) / (F.col("_qn") * F.col("_nn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -163,17 +176,19 @@ def srp_bucket_topk(
         .select(F.col("x.id").alias("query_id"), F.col("y.id").alias("neighbor_id"))
         .dropDuplicates()
     )
-    vecs = emb.select(F.col(id_col), F.col(vec_col))
+    vecs = emb.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n"))
     scored = (
         cand.join(
-            vecs.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+            vecs.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                        F.col("_n").alias("_qn")),
             "query_id",
         )
         .join(
-            vecs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")),
+            vecs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
+                        F.col("_n").alias("_nn")),
             "neighbor_id",
         )
-        .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+        .withColumn("cos", dot(F.col("qv"), F.col("nv")) / (F.col("_qn") * F.col("_nn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

@@ -121,7 +121,7 @@ def candidate_pairs_from_buckets(
     through emitted verified edges — x–rep(x) and y–rep(y) at distance
     0, and (rep(x), rep(y)) has the same distance as (x, y) so it
     verifies whenever (x, y) would — PROVIDED the bucket holds at most
-    ``hot_bucket_threshold`` DISTINCT payload values.  Beyond that the
+    ``16 * hot_bucket_threshold`` DISTINCT payload values.  Beyond that the
     star-over-reps regime is a documented approximation: an edge
     (min-rep, r) with distance > threshold is dropped by verification
     and can sever r's members from the bucket's component.  Without
@@ -166,6 +166,13 @@ def candidate_pairs_from_buckets(
     tagged = reps.join(sizes, list(key_cols))
     salt_floor = max(2, cfg.hot_bucket_threshold // 4)
     s = cfg.salt_buckets
+    # With the collapse active, "bucket size" counts DISTINCT payloads,
+    # so the star fallback can afford a much higher floor: a k-rep
+    # salted all-pairs emits ≤ k²/2 bounded pairs, and real skew
+    # (floods) has already collapsed away.  16x the raw threshold keeps
+    # the exactness guarantee through e.g. 1024-distinct-value buckets
+    # while still refusing adversarial quadratic blowups.
+    hot = cfg.hot_bucket_threshold * (16 if val_col is not None else 1)
 
     small = tagged.filter(F.col("_bsz") <= salt_floor)
     left = small.select(*keys, F.col("id").alias("a"))
@@ -173,7 +180,7 @@ def candidate_pairs_from_buckets(
     small_pairs = left.join(right, list(key_cols)).filter(F.col("a") < F.col("b"))
 
     medium = tagged.filter(
-        (F.col("_bsz") > salt_floor) & (F.col("_bsz") <= cfg.hot_bucket_threshold)
+        (F.col("_bsz") > salt_floor) & (F.col("_bsz") <= hot)
     )
     m_left = medium.select(
         *keys, F.col("id").alias("a"), F.pmod(F.xxhash64("id"), F.lit(s)).alias("_salt")
@@ -188,7 +195,7 @@ def candidate_pairs_from_buckets(
 
     hot_pairs = (
         tagged.filter(
-            (F.col("_bsz") > cfg.hot_bucket_threshold) & (F.col("id") != F.col("_bmin"))
+            (F.col("_bsz") > hot) & (F.col("id") != F.col("_bmin"))
         )
         .select(
             F.least("id", "_bmin").alias("a"), F.greatest("id", "_bmin").alias("b")

@@ -38,19 +38,63 @@ def _block(col, i: int):
     return F.shiftrightunsigned(col, i * 8).bitwiseAND(F.lit(0xFF))
 
 
+# Above this row count the d+1-chunk scheme's 2^16-ary buckets get too
+# fat (n / 2^16 expected members per bucket) and the C(m, m-d) wide-key
+# scheme pays for its 14x key volume with near-empty buckets.
+_CHUNK_SCHEME_MAX_ROWS = 10_000_000
+
+
 def hamming_block_keys(
     df: DataFrame,
     cfg: DedupConfig = DEFAULT_CONFIG,
     id_col: str = "image_id",
     hash_col: str = "phash",
+    scheme: str = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
-    """(id, band_idx, band_hash): one row per q-block combination.
+    """(id, band_idx, band_hash, _vhash): pigeonhole keys for Hamming ≤ d.
 
-    band_idx identifies the combination; band_hash packs the selected
-    blocks' values (xxhash64-mixed with the combination index so
-    different combinations never share buckets).
+    Two EXACT keying schemes (identical no-false-negative guarantee,
+    different bucket geometry — a size-based physical plan choice like
+    a Catalyst CBO pick):
+
+    - ``chunk4``  (d+1 contiguous chunks of 64/(d+1) bits): d bit
+      errors can touch at most d chunks, so ≥1 chunk matches.  Only
+      d+1 keys per row, but each key space is 2^(64/(d+1)) — fat
+      buckets once n outgrows it.  Right below ~10^7 rows.
+    - ``combo56`` (C(m, m-d) combinations of m-d of m=8 byte blocks):
+      any ≤d pair agrees on ≥ m-d whole blocks.  56 keys per row of
+      ~40 bits each — tiny buckets at 10^12 rows; the web-scale plan.
+
+    ``auto`` picks by ``n_rows`` (counted from df if not given —
+    callers holding a cached input should pass it).
     """
-    m, d = _NUM_BLOCKS, cfg.hamming_threshold
+    d = cfg.hamming_threshold
+    if scheme == "auto":
+        if n_rows is None:
+            n_rows = df.count()
+        scheme = "chunk4" if n_rows <= _CHUNK_SCHEME_MAX_ROWS else "combo56"
+
+    if scheme == "chunk4":
+        nc = d + 1
+        width = 64 // nc
+        pre = df.select(
+            F.col(id_col).alias("id"),
+            F.col(hash_col).alias("_vhash"),
+        )
+        chunks = []
+        for ci in range(nc):
+            w = width if ci < nc - 1 else 64 - width * (nc - 1)
+            val = F.shiftrightunsigned(F.col("_vhash"), ci * width).bitwiseAND(
+                F.lit((1 << w) - 1)
+            )
+            chunks.append(F.xxhash64(F.lit(ci), val))
+        return pre.select(
+            "id", F.posexplode(F.array(*chunks)).alias("band_idx", "band_hash"),
+            "_vhash",
+        )
+
+    m = _NUM_BLOCKS
     q = m - d
     combos = list(combinations(range(m), q))
     # Two-step select: materialize the 8 block columns once, then hash
@@ -98,6 +142,8 @@ def phash_hamming_pairs(
     cfg: DedupConfig = DEFAULT_CONFIG,
     id_col: str = "image_id",
     hash_col: str = "phash",
+    scheme: str = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Full image tier: verified (a, b, hamming) edges with Hamming ≤ d.
 
@@ -110,14 +156,14 @@ def phash_hamming_pairs(
     distance-0 representative that verification can never sever, and
     distinct-value representatives go through all-pairs/salted
     regimes.  The only approximation is a bucket with more than
-    cfg.hot_bucket_threshold DISTINCT phash values (star-over-reps;
+    16*cfg.hot_bucket_threshold DISTINCT phash values (star-over-reps;
     rep edges > d apart are dropped there — see
     candidate_pairs_from_buckets).  False positives pruned by
     verify_hamming.
     """
     # materialize: the candidate generator consumes the key table in
-    # three branches; without this the 56-way explode runs three times
-    keys = hamming_block_keys(df, cfg, id_col, hash_col).persist()
+    # three branches; without this the keying explode runs three times
+    keys = hamming_block_keys(df, cfg, id_col, hash_col, scheme, n_rows).persist()
     cands = candidate_pairs_from_buckets(keys, cfg, val_col="_vhash")
     return verify_hamming(cands, df, cfg, id_col, hash_col)
 

@@ -85,6 +85,20 @@ def test_substring_tier_recall(substring_pairs_got, fixture_pdf, cfg):
     assert recall >= 0.99, f"substring tier recall {recall:.4f}"
 
 
+def test_keying_schemes_equivalent_closures(spark, images_df, cfg, hamming_oracle):
+    """Both exact pigeonhole keying schemes (d+1 chunks vs C(8,5) block
+    combinations) must produce the same verified-edge closure — they are
+    size-based physical plan alternatives, not different detectors."""
+    from tests.conftest import transitive_closure_pairs as tc
+    want = tc(hamming_oracle)
+    for scheme in ("chunk4", "combo56"):
+        got = pairs_set(
+            phash_hamming_pairs(images_df, cfg, scheme=scheme).toPandas()
+        )
+        assert got <= hamming_oracle, scheme
+        assert tc(got) == want, scheme
+
+
 def test_hot_bucket_far_from_hub_members_not_severed(spark, cfg):
     """Adversarial hot bucket (ADVICE r1): >hot_bucket_threshold members
     share every bucket, but many sit FARTHER than d from the bucket-min

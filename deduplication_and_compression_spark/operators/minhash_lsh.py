@@ -13,11 +13,12 @@ Dataflow (all sizes are per 10^12-row scale reasoning):
                   no second Python hop
   3. bucketing    wide; shuffle on (band_idx, band_hash) carrying only
                   (id, key) pairs
-  4. pair-gen     skew-aware: per-bucket all-pairs for normal buckets,
-                  star-around-min-id for hot buckets (a hot LSH bucket
-                  at web scale is an exact-dup flood; star edges keep
-                  identical connected-component structure while
-                  emitting O(k) instead of O(k²))
+  4. pair-gen     skew-aware: identical-payload members collapse to a
+                  min-id representative first (the exact-dup flood —
+                  THE hot-bucket case at web scale — becomes O(k) star
+                  edges that verification can never sever), then
+                  all-pairs / salted all-pairs / star-over-reps by
+                  DISTINCT-payload bucket size
   5. verify       candidates joined back to captions; TRUE shingle
                   Jaccard computed in an Arrow-batched UDF; edge iff
                   J ≥ cfg.jaccard_threshold (false positives from LSH

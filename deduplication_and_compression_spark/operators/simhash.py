@@ -76,7 +76,12 @@ def hamming_block_keys(
         scheme = "chunk4" if n_rows <= _CHUNK_SCHEME_MAX_ROWS else "combo56"
 
     if scheme == "chunk4":
-        nc = d + 1
+        nc = cfg.simhash_chunks
+        if nc < d + 1:
+            raise ValueError(
+                f"simhash_chunks={nc} breaks the pigeonhole guarantee for "
+                f"hamming_threshold={d} (need >= d+1 chunks)"
+            )
         width = 64 // nc
         pre = df.select(
             F.col(id_col).alias("id"),

@@ -174,6 +174,13 @@ Host ceiling at this moment's ambient load (pure-CPU multiprocessing,
 same 2→8 workers, from the calibration above) = **{ceil_eff:.3f}**;
 host-normalized stage efficiency = **{s_eff_norm:.3f}**.
 
+Historical reference: under light ambient load (2026-08-16 ~17:30 UTC,
+host calibration ~0.96 at this pair) the identical job measured
+**0.807 raw** — walls 141.1s @ local[2], 43.7s @ local[8], 400k rows
+(recorded in commit ff00e91).  Raw efficiency on this shared box
+tracks ambient co-tenant load; the normalized number is the
+comparable one across sweeps.
+
 ## Per-stage walls at both parallelism levels ({s_n['rows']} rows)
 
 Each stage's input is materialized before its timer starts, so every

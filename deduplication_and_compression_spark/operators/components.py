@@ -22,32 +22,52 @@ from pyspark.sql import DataFrame, functions as F
 from ..config import DedupConfig, DEFAULT_CONFIG
 
 
-def _symmetric(edges: DataFrame) -> DataFrame:
-    return edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+def _symmetric(edges: DataFrame, parts: int) -> DataFrame:
+    """Symmetrized edge list, explicitly hash-partitioned on u.
+
+    The explicit ``repartition(parts, "u")`` is the whole shuffle-
+    sizing story for a round: the groupBy("u") and join("u") inside
+    the star steps then REUSE HashPartitioning(u, parts) (their
+    required clustered distribution is already satisfied), so no
+    session-global ``spark.sql.shuffle.partitions`` mutation is
+    needed — the r2 version set and restored that conf, which is racy
+    against any concurrently-planning query in the same session.
+    """
+    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
+    return sym.repartition(parts, "u")
 
 
-def _large_star(E: DataFrame) -> DataFrame:
+def _dedup_pairs(df: DataFrame, parts: int) -> DataFrame:
+    """dropDuplicates on (a, b) at the round's partitioning, not the
+    session default: the explicit repartition satisfies the dedup
+    aggregation's clustering requirement, so no further exchange."""
+    return df.repartition(parts, "a", "b").dropDuplicates()
+
+
+def _large_star(E: DataFrame, parts: int) -> DataFrame:
     """Connect strictly-larger neighbors of u to min(Γ⁺(u))."""
     m = E.groupBy("u").agg(F.min("v").alias("minv"))
     m = m.select("u", F.least("u", "minv").alias("m"))
-    return (
+    out = (
         E.join(m, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("a"), F.col("m").alias("b"))
         .where(F.col("a") != F.col("b"))
-        .dropDuplicates()
     )
+    return _dedup_pairs(out, parts)
 
 
-def _small_star(E: DataFrame) -> DataFrame:
+def _small_star(E: DataFrame, parts: int) -> DataFrame:
     """Connect smaller-or-equal neighbors of u (and u itself) to min."""
     Ele = E.where(F.col("v") <= F.col("u"))
     m = Ele.groupBy("u").agg(F.min("v").alias("m"))
     nbrs = Ele.join(m, "u").select(F.col("v").alias("a"), F.col("m").alias("b"))
     selfe = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
-    return nbrs.union(selfe).where(F.col("a") != F.col("b")).dropDuplicates()
+    return _dedup_pairs(
+        nbrs.union(selfe).where(F.col("a") != F.col("b")), parts
+    )
 
 
 def _checksum(edges: DataFrame) -> tuple[int, int]:
@@ -78,41 +98,43 @@ def connected_components(
     # CC rounds shuffle a small edge table many times; running them at
     # the session-wide shuffle parallelism makes per-task overhead scale
     # with the cluster (measured 12s -> 72s going local[8] -> local[32]).
-    # Size the rounds' shuffles to the DATA instead, then restore.
+    # Size the rounds' shuffles to the DATA via explicit repartitions
+    # inside the round plans (_symmetric/_dedup_pairs) — NEVER by
+    # mutating session-global spark.sql.shuffle.partitions.
     n_edges = cur.count()
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    cc_parts = max(4, min(int(old_sp), n_edges // 250_000 + 4))
-    spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
-    try:
-        prev_sig = None
-        converged = False
-        for _ in range(cfg.cc_max_iterations):
-            ls = _large_star(_symmetric(cur))
-            ss = _small_star(_symmetric(ls))
-            cur = (
-                ss.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
-                .dropDuplicates()
-                .localCheckpoint()
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cc_parts = max(4, min(sess_parts, n_edges // 250_000 + 4))
+    prev_sig = None
+    converged = False
+    for _ in range(cfg.cc_max_iterations):
+        ls = _large_star(_symmetric(cur, cc_parts), cc_parts)
+        ss = _small_star(_symmetric(ls, cc_parts), cc_parts)
+        cur = (
+            _dedup_pairs(
+                ss.select(
+                    F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+                ),
+                cc_parts,
             )
-            sig = _checksum(cur)
-            if sig == prev_sig:
-                converged = True
-                break
-            prev_sig = sig
-        if not converged:
-            # a non-converged graph would yield split/mislabeled
-            # clusters downstream — fail loudly, never silently
-            raise RuntimeError(
-                f"connected_components did not converge within "
-                f"{cfg.cc_max_iterations} large-star/small-star rounds "
-                f"({n_edges} input edges); raise cfg.cc_max_iterations"
-            )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+            .localCheckpoint()
+        )
+        sig = _checksum(cur)
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        # a non-converged graph would yield split/mislabeled
+        # clusters downstream — fail loudly, never silently
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{cfg.cc_max_iterations} large-star/small-star rounds "
+            f"({n_edges} input edges); raise cfg.cc_max_iterations"
+        )
     # converged: star graphs rooted at component minimum — but a node may
     # still appear with multiple labels in pathological tie rounds; take min.
     labels = (
-        _symmetric(cur)
+        _symmetric(cur, cc_parts)
         .groupBy("u")
         .agg(F.min("v").alias("mv"))
         .select(F.col("u").alias("id"), F.least("u", "mv").alias("cluster_id"))

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..persistence import scoped_persist
+
 
 def with_content_hash(df: DataFrame, cols: tuple[str, ...] = ("bytes", "caption")) -> DataFrame:
     """Adds ``content_hash``: SHA-256 over the concatenated per-column
@@ -47,8 +49,8 @@ def exact_pairs(df: DataFrame, id_col: str = "image_id",
     without materialization the SHA-256-over-bytes scan would run
     twice — at 100 TB that is two full passes over the payload column.
     """
-    hashed = (
-        with_content_hash(df, cols).select("content_hash", id_col).persist()
+    hashed = scoped_persist(
+        with_content_hash(df, cols).select("content_hash", id_col)
     )
     reps = hashed.groupBy("content_hash").agg(
         F.min(id_col).alias("rep"), F.count(F.lit(1)).alias("members")
@@ -70,8 +72,8 @@ def exact_assignments(df: DataFrame, id_col: str = "image_id",
     Mirrors the reference's output headers: unique chunk → payload,
     duplicate → reference to first occurrence
     (/root/reference/App/Host.cpp:174-190)."""
-    hashed = (
-        with_content_hash(df, cols).select("content_hash", id_col).persist()
+    hashed = scoped_persist(
+        with_content_hash(df, cols).select("content_hash", id_col)
     )
     reps = hashed.groupBy("content_hash").agg(F.min(id_col).alias("representative_id"))
     return (

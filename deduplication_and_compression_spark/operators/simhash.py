@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..config import DedupConfig, DEFAULT_CONFIG
 from ..functions import hashing as H
+from ..persistence import scoped_persist
 from .minhash_lsh import candidate_pairs_from_buckets
 
 _NUM_BLOCKS = 8  # m; block width = 64/m = 8 bits
@@ -168,7 +169,7 @@ def phash_hamming_pairs(
     """
     # materialize: the candidate generator consumes the key table in
     # three branches; without this the keying explode runs three times
-    keys = hamming_block_keys(df, cfg, id_col, hash_col, scheme, n_rows).persist()
+    keys = scoped_persist(hamming_block_keys(df, cfg, id_col, hash_col, scheme, n_rows))
     cands = candidate_pairs_from_buckets(keys, cfg, val_col="_vhash")
     return verify_hamming(cands, df, cfg, id_col, hash_col)
 

@@ -8,10 +8,11 @@ what keeps the fingerprint table ~1/8 the size of full L-gram
 explosion at 10^12 rows); shuffle on the fingerprint; bucket →
 candidate pairs via the shared skew-aware generator.
 
-Stage 2 (verify, Arrow-batched): suffix-array + LCP exact
-longest-common-substring ≥ L on each candidate pair; winnowing
+Stage 2 (verify, Arrow-batched): shared-L-gram check (⟺ exact LCS ≥ L)
+over the whole batch in one lexsort — zero per-pair Python; winnowing
 guarantees zero false negatives, this stage removes the false
-positives (shared g-gram shorter than L).
+positives (shared g-gram shorter than L).  The per-pair suffix-array +
+Kasai LCS kernel lives on in functions/text.py as the test oracle.
 """
 
 from __future__ import annotations
@@ -20,9 +21,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..config import DedupConfig, DEFAULT_CONFIG
+from ..functions import hashing as H
 from ..functions.hashing import u64_to_i64
-from ..functions.text import lcs_length, winnow_fingerprints
-from .minhash_lsh import candidate_pairs_from_buckets
+from ..functions.text import winnow_fingerprints
+from ..persistence import scoped_persist
+from .minhash_lsh import candidate_pairs_from_buckets, sized_fanout
 
 
 def winnow_keys(
@@ -64,26 +67,40 @@ def verify_substring(
     id_col: str = "image_id",
     text_col: str = "caption",
 ) -> DataFrame:
-    """Keep candidate pairs with exact LCS ≥ L (suffix-array check)."""
+    """Keep candidate pairs whose sides share a verbatim run of ≥ L
+    characters.
+
+    LCS ≥ L ⟺ the two sides share at least one byte L-gram, so the
+    whole Arrow batch is verified with ONE lexsort over L-gram hashes
+    (functions/hashing.py:shared_kgram_batch) — no per-pair Python.
+    The previous implementation ran a per-pair suffix-array +
+    interpreted Kasai LCP loop here; that exact-LCS kernel
+    (functions/text.py:lcs_length) survives as the brute-force test
+    oracle, while the verify path is now batch-vectorized with an
+    identical keep/drop decision (2^-64-per-gram-pair hash-collision
+    caveat, same class as the value-collapse caveat).
+    """
     L = cfg.min_substring_len
     texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_txt"))
 
-    @F.pandas_udf(T.IntegerType())
-    def _lcs(ta: pd.Series, tb: pd.Series) -> pd.Series:
+    @F.pandas_udf(T.BooleanType())
+    def _shares_run(ta: pd.Series, tb: pd.Series) -> pd.Series:
         return pd.Series(
-            [lcs_length(x or "", y or "") for x, y in zip(ta, tb)], dtype="int32"
+            H.shared_kgram_batch(ta.fillna("").tolist(), tb.fillna("").tolist(), L)
         )
 
+    candidates = scoped_persist(candidates)
+    n_cands = candidates.count()
     joined = (
         candidates.join(texts.withColumnRenamed("_tid", "a").withColumnRenamed("_txt", "_ta"), "a")
         .join(texts.withColumnRenamed("_tid", "b").withColumnRenamed("_txt", "_tb"), "b")
     )
-    # fan out for the Python LCS stage (see verify_jaccard note)
-    joined = joined.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # fan out sized to the candidate count (see verify_jaccard note)
+    joined = sized_fanout(joined, n_cands)
     return (
-        joined.withColumn("lcs_len", _lcs("_ta", "_tb"))
-        .filter(F.col("lcs_len") >= F.lit(L))
-        .select("a", "b", "lcs_len")
+        joined.withColumn("_hit", _shares_run("_ta", "_tb"))
+        .filter(F.col("_hit"))
+        .select("a", "b")
     )
 
 
@@ -97,6 +114,6 @@ def substring_pairs(
     """Pass pre-materialized ``keys`` to avoid re-running the winnowing
     UDF per branch of the candidate generator (see minhash_pairs)."""
     if keys is None:
-        keys = winnow_keys(df, cfg, id_col, text_col).persist()
+        keys = scoped_persist(winnow_keys(df, cfg, id_col, text_col))
     cands = candidate_pairs_from_buckets(keys, cfg, val_col="_vhash")
     return verify_substring(cands, df, cfg, id_col, text_col)

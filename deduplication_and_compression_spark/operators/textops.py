@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..persistence import scoped_persist
+
 STOPWORDS = ("a", "the", "of", "and", "to", "in", "is")
 
 
@@ -124,7 +126,7 @@ def bigram_jaccard_pairs_auto(df: DataFrame, threshold_bp: int = 5000) -> DataFr
     aggregation over the (already materialized) bigram table decides —
     the same shape as a Catalyst cost-based plan pick.
     """
-    bg = word_bigrams(df).persist()
+    bg = scoped_persist(word_bigrams(df))
     stats = bg.agg(
         F.approx_count_distinct("bigram").alias("v"),
         F.approx_count_distinct("doc_id").alias("d"),
@@ -152,7 +154,7 @@ def bigram_jaccard_pairs(df: DataFrame, threshold_bp: int = 5000,
     t = threshold_bp / 10000.0
     # materialize: bg feeds frequencies, prefixes and the arrays
     if bg is None:
-        bg = word_bigrams(df).persist()
+        bg = scoped_persist(word_bigrams(df))
     freq = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("_gf"))
     docs = (
         bg.join(freq, "bigram")
@@ -204,7 +206,7 @@ def bigram_jaccard_pairs_allpairs(df: DataFrame, threshold_bp: int = 5000,
     magnitude.  Both produce identical output — use
     bigram_jaccard_pairs_auto for the cost-based pick."""
     if bg is None:
-        bg = word_bigrams(df).persist()
+        bg = scoped_persist(word_bigrams(df))
     sizes = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         bg.alias("x")

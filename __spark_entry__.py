@@ -3,13 +3,15 @@
 ``entry(spark)`` runs the flagship near-dup clustering over the
 sf0.001 ``documents`` table.  ``queries()`` exposes each implemented
 operator from SURVEY.md §2 / §7 over the driver-generated tables;
-``oracle_sql()`` gives the DuckDB-runnable ANSI twin for every
-SQL-expressible one — including the winnowed-substring tier (its
-verified output equals the all-positions L-gram join) and SRP top-k
-(seed-derived hyperplanes embedded as SQL literals).  Only
-``minhash_pairs_docs`` stays rows-only (Spark-internal xxhash64 over
-array columns); its gate is the brute-force oracle + recall bound in
-tests/test_minhash.py.
+``oracle_sql()`` gives the DuckDB-runnable ANSI twin for EVERY query —
+including the winnowed-substring tier (cluster-preserving star-within-
+identical-texts + rep-level L-gram join), SRP top-k (seed-derived
+hyperplanes embedded as SQL literals), and, since round 3, the full
+MinHash/LSH tier: signatures, banding, skew-aware pair generation,
+estimate prefilter and Jaccard verify are all replayed in HUGEINT
+mod-2⁶⁴ SQL (the band keys moved onto the repo's public poly-fold +
+splitmix64 band hash, so no Spark-internal hashing remains anywhere
+in the contract).
 
 Column names and arithmetic order match between the Spark plans and
 the SQL strings so the driver's order-insensitive value-hash agrees;
@@ -209,11 +211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_substring_pairs_docs": _q_winnow_pairs_docs,
         "srp_topk_embeddings": _q_srp_topk,
         "simhash_docs": _q_simhash_docs,  # oracled via HUGEINT-mod-2^64 SQL
-        # rows-only: minhash_pairs_docs' band keys use Spark's internal
-        # xxhash64 over array<long> columns, whose byte-level hashing of
-        # complex types is engine-specific and not replicable in ANSI
-        # SQL; its correctness gate is the brute-force true-Jaccard
-        # oracle + recall bound in tests/test_minhash.py
+        # oracled since r3: band keys are the repo's public splitmix64
+        # band hash, replayed (with the whole LSH tier) in HUGEINT SQL
         "minhash_pairs_docs": _q_minhash_pairs_docs,
     }
 
@@ -324,16 +323,10 @@ def _sql_mulmod64(x: str, c: int) -> str:
     )
 
 
-def _simhash_oracle_sql() -> str:
-    """DuckDB twin of simhash_from_text: tokenize on ASCII whitespace,
-    length-prefixed polynomial hash per token, splitmix64 finalizer,
-    majority vote per bit (2*ones > n_tokens), uint64→int64 reinterpret.
-    Mirrors functions/hashing.py:token_hashes_batch + simhash_batch."""
-    pow_list = ", ".join(
-        str(pow(_POLY_B_I, j, 1 << 64)) for j in range(_MAX_TOK_BYTES + 1)
-    )
-    pw2_list = ", ".join(str(1 << i) for i in range(64))
-    steps = [
+def _sm_steps() -> list[str]:
+    """The six splitmix64 finalizer stages over a HUGEINT column z,
+    each an independent mod-2⁶⁴ expression (shifts as floor-div)."""
+    return [
         f"((z + {_SM_GAMMA_I}::HUGEINT) % {_M64})",
         _sql_xor64("z", "z // 1073741824"),   # z ^= z >> 30
         _sql_mulmod64("z", _SM_M1_I),
@@ -341,10 +334,39 @@ def _simhash_oracle_sql() -> str:
         _sql_mulmod64("z", _SM_M2_I),
         _sql_xor64("z", "z // 2147483648"),   # z ^= z >> 31
     ]
-    step_ctes = ",\n".join(
-        f"s{i} AS (SELECT doc_id, {expr} AS z FROM s{i-1})"
-        for i, expr in enumerate(steps, start=1)
+
+
+def _sm_chain(prefix: str, src: str, carry: tuple[str, ...]) -> str:
+    """CTE chain applying splitmix64 to column ``z`` of CTE ``src``,
+    carrying ``carry`` columns through; the final CTE is {prefix}6.
+    Chained CTEs (not one nested expression) keep each stage evaluated
+    once per row — a fully inlined splitmix duplicates the input
+    subtree ~256x."""
+    cols = "".join(c + ", " for c in carry)
+    out = []
+    prev = src
+    for i, expr in enumerate(_sm_steps(), start=1):
+        out.append(f"{prefix}{i} AS (SELECT {cols}{expr} AS z FROM {prev})")
+        prev = f"{prefix}{i}"
+    return ",\n".join(out)
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of simhash_from_text: tokenize on ASCII whitespace,
+    length-prefixed polynomial hash per token, splitmix64 finalizer,
+    majority vote per bit (2*ones > n_tokens), uint64→int64 reinterpret.
+    Mirrors functions/hashing.py:token_hashes_batch + simhash_batch.
+
+    Byte-semantics caveat: strlen() counts UTF-8 bytes while
+    substr()/ord() index characters, and tokens longer than
+    _MAX_TOK_BYTES would index past the POW list — both are guarded by
+    test_entry_oracle.py::test_fixture_is_ascii_with_short_tokens,
+    which pins the driver fixture to ASCII tokens ≤ 64 bytes."""
+    pow_list = ", ".join(
+        str(pow(_POLY_B_I, j, 1 << 64)) for j in range(_MAX_TOK_BYTES + 1)
     )
+    pw2_list = ", ".join(str(1 << i) for i in range(64))
+    step_ctes = _sm_chain("s", "s0", ("doc_id",))
     ws_class = "[ \t\n\x0b\x0c\r]+"
     return f"""
         WITH pw AS (SELECT [{pow_list}]::HUGEINT[] AS p, [{pw2_list}]::HUGEINT[] AS p2),
@@ -375,6 +397,177 @@ def _simhash_oracle_sql() -> str:
                          ELSE coalesce(u.uh, 0::HUGEINT) END AS BIGINT) AS simhash
         FROM documents d LEFT JOIN u ON u.doc_id = d.doc_id
     """
+
+
+def _winnow_oracle_sql(table: str = "documents", L: int = 32) -> str:
+    """DuckDB twin of substring_pairs — the CLUSTER-PRESERVING contract,
+    not the raw all-positions L-gram join (ADVICE r2, medium):
+    substring_pairs runs value collapse on xxhash64(text), so members
+    of an identical-text group pair only with their min-id
+    representative (star edges), and only REPRESENTATIVES pair across
+    groups.  The r2 oracle asserted set-equality with the all-positions
+    join, which holds only on fixtures with zero duplicate texts; this
+    SQL states the real contract and is exercised against a
+    planted-duplicate fixture in
+    tests/test_entry_oracle.py::test_winnow_oracle_with_duplicate_texts.
+
+    intra: (min-id, member) within each identical-text group — kept by
+    verify iff the shared run can be ≥ L, i.e. len(text) ≥ L.
+    cross: representatives sharing a verbatim L-gram (winnowing
+    guarantees every such pair shares a fingerprint bucket; verify
+    keeps exactly shared-L-gram pairs, so the rep-level relation IS the
+    L-gram join over reps).  The star-over-reps approximation beyond
+    16·hot_bucket_threshold distinct texts per fingerprint bucket is
+    not replicated (unreachable at driver fixture scale).
+    """
+    return f"""
+        WITH d AS (
+          SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS rep
+          FROM {table}),
+        intra AS (
+          SELECT rep AS a, doc_id AS b FROM d
+          WHERE doc_id <> rep AND length(text) >= {L}),
+        reps AS (SELECT doc_id, text FROM d WHERE doc_id = rep),
+        gp AS (
+          SELECT doc_id, text, unnest(generate_series(1, length(text) - {L - 1})) AS i
+          FROM reps WHERE length(text) >= {L}),
+        g AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {L}) AS gram
+          FROM gp),
+        cross_reps AS (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id)
+        SELECT DISTINCT a, b FROM (
+          SELECT a, b FROM intra UNION ALL SELECT a, b FROM cross_reps)
+    """
+
+
+_FNV_OFFSET_I = 1469598103934665603  # band-fold init (hashing.band_hashes)
+
+
+def _minhash_oracle_sql(cfg=CFG, table: str = "documents") -> str:
+    """DuckDB twin of the FULL MinHash/LSH tier (minhash_pairs):
+
+      1. k-shingle hashes: polynomial fold of the k UTF-8 bytes
+         (h = Σ byte_j·B^(k-1-j) mod 2⁶⁴), splitmix64-mixed —
+         functions/hashing.py:char_kgram_hashes.  Computed once per
+         GLOBALLY distinct shingle (the hash is text-independent), so
+         the expensive lane mixing below runs on |distinct shingles|
+         rows, not |positions|.
+      2. signature lane p = min over the doc's shingles of
+         splitmix64(shingle XOR seed_p); seeds are make_seeds literals
+         — hashing.minhash_signature.  Docs shorter than k produce no
+         shingles and never appear (the Spark side's all-max sentinel
+         filter); the sentinel guard sig[1] <> 2⁶⁴-1 is replicated for
+         completeness.
+      3. band key b = splitmix64(FNV-fold of lanes b·r..b·r+r-1) —
+         hashing.band_hashes, replayed with list_reduce.
+      4. skew-aware pair generation, including the value collapse:
+         bucket members are grouped BY THE SIGNATURE LIST (the Spark
+         side groups on xxhash64(sig) — identical grouping up to the
+         documented 2⁻⁶⁴ hash-collision caveat), star edges
+         (min-id rep → member) within each group, then all-pairs among
+         reps for buckets ≤ 16·hot_bucket_threshold distinct
+         signatures (the salted medium regime emits the same pair SET
+         as plain all-pairs) and star-around-bmin above —
+         minhash_lsh.candidate_pairs_from_buckets.
+      5. estimate prefilter: signature lane agreement ≥ t − 3σ.
+      6. exact verify: true k-shingle Jaccard ≥ t, computed over
+         distinct k-gram STRINGS (equal to the Spark side's hash-set
+         Jaccard absent 2⁻⁶⁴ collisions).
+
+    Reference analog: the decoder-as-oracle discipline
+    (/root/reference/Decoder/Decoder.cpp:63-118) — every emitted pair
+    independently checkable by an external engine.
+    """
+    k = cfg.shingle_k
+    import deduplication_and_compression_spark.functions.hashing as _H
+
+    seeds = _H.make_seeds(cfg.num_perm, cfg.minhash_seed)
+    seed_rows = ", ".join(f"({i}, {int(s)}::HUGEINT)" for i, s in enumerate(seeds))
+    pows = [pow(_POLY_B_I, j, 1 << 64) for j in range(k)]
+    poly_terms = " + ".join(
+        f"ord(substr(text, CAST(i + {j} AS INT), 1))::HUGEINT * {pows[k - 1 - j]}::HUGEINT"
+        for j in range(k)
+    )
+    t = cfg.jaccard_threshold
+    slack = 3.0 * (t * (1.0 - t) / cfg.num_perm) ** 0.5
+    r, nb = cfg.lsh_rows, cfg.lsh_bands
+    hot = cfg.hot_bucket_threshold * 16  # collapse active → 16x floor
+    band_fold = (
+        f"list_reduce(list_prepend({_FNV_OFFSET_I}::HUGEINT, "
+        f"sig[band_idx*{r}+1 : band_idx*{r}+{r}]), "
+        f"(h, x) -> ({_sql_xor64('h', 'x')} * {_POLY_B_I}::HUGEINT) % {_M64})"
+    )
+    return f"""
+WITH seeds(lane, seed) AS (VALUES {seed_rows}),
+docs AS (SELECT doc_id, text FROM {table} WHERE strlen(text) >= {k}),
+pos AS (SELECT doc_id, text, unnest(generate_series(1, strlen(text) - {k - 1})) AS i FROM docs),
+poly AS (SELECT DISTINCT doc_id, ({poly_terms}) % {_M64} AS z FROM pos),
+upoly AS (SELECT DISTINCT z AS z0, z FROM poly),
+{_sm_chain("u", "upoly", ("z0",))},
+ush AS (SELECT z0 AS pz, z AS sh FROM u6),
+lz AS (SELECT sh AS sh0, lane, {_sql_xor64("sh", "seed")} AS z FROM ush CROSS JOIN seeds),
+{_sm_chain("l", "lz", ("sh0", "lane"))},
+lmix AS (SELECT sh0, lane, z AS lv FROM l6),
+sigv AS (
+  SELECT p.doc_id, l.lane, min(l.lv) AS v
+  FROM poly p JOIN ush u ON u.pz = p.z JOIN lmix l ON l.sh0 = u.sh
+  GROUP BY 1, 2),
+sig AS (SELECT doc_id, list(v ORDER BY lane) AS sig FROM sigv GROUP BY 1),
+sigok AS (SELECT * FROM sig WHERE sig[1] <> {(1 << 64) - 1}::HUGEINT),
+bandf AS (SELECT doc_id, unnest(range({nb})) AS band_idx FROM sigok),
+bandz AS (
+  SELECT f.doc_id, f.band_idx, {band_fold} AS z
+  FROM bandf f JOIN sigok s USING (doc_id)),
+{_sm_chain("b", "bandz", ("doc_id", "band_idx"))},
+bk AS (
+  SELECT b6.doc_id AS id, b6.band_idx, b6.z AS bh, s.sig
+  FROM b6 JOIN sigok s ON s.doc_id = b6.doc_id),
+grp AS (
+  SELECT band_idx, bh, sig, min(id) AS rep, count(*) AS gsz
+  FROM bk GROUP BY 1, 2, 3),
+intra AS (
+  SELECT DISTINCT g.rep AS a, k.id AS b
+  FROM bk k JOIN grp g ON g.band_idx = k.band_idx AND g.bh = k.bh AND g.sig = k.sig
+  WHERE g.gsz > 1 AND k.id <> g.rep),
+reps AS (SELECT band_idx, bh, rep AS id FROM grp),
+sizes AS (
+  SELECT band_idx, bh, count(*) AS bsz, min(id) AS bmin
+  FROM reps GROUP BY 1, 2 HAVING count(*) > 1),
+tag AS (
+  SELECT r.id, r.band_idx, r.bh, s.bsz, s.bmin
+  FROM reps r JOIN sizes s USING (band_idx, bh)),
+allp AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM tag x JOIN tag y ON x.band_idx = y.band_idx AND x.bh = y.bh AND x.id < y.id
+  WHERE x.bsz <= {hot}),
+star AS (
+  SELECT DISTINCT least(id, bmin) AS a, greatest(id, bmin) AS b
+  FROM tag WHERE bsz > {hot} AND id <> bmin),
+cand AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM allp UNION ALL SELECT a, b FROM star
+    UNION ALL SELECT a, b FROM intra)),
+est AS (
+  SELECT c.a, c.b
+  FROM cand c JOIN sigok sa ON sa.doc_id = c.a JOIN sigok sb ON sb.doc_id = c.b
+  WHERE CAST(list_sum(list_transform(range(1, {cfg.num_perm + 1}),
+          i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+        / {float(cfg.num_perm)!r} >= {t - slack!r}),
+gk AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {k}) AS g FROM pos),
+nk AS (SELECT doc_id, count(*) AS n FROM gk GROUP BY 1),
+inter AS (
+  SELECT e.a, e.b, count(*) AS i
+  FROM est e JOIN gk x ON x.doc_id = e.a JOIN gk y ON y.doc_id = e.b AND y.g = x.g
+  GROUP BY 1, 2)
+SELECT e.a AS a, e.b AS b
+FROM est e
+JOIN inter t ON t.a = e.a AND t.b = e.b
+JOIN nk na ON na.doc_id = e.a
+JOIN nk nb ON nb.doc_id = e.b
+WHERE CAST(t.i AS DOUBLE) / CAST(na.n + nb.n - t.i AS DOUBLE) >= {float(cfg.jaccard_threshold)!r}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -482,20 +675,8 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         """,
-        # winnowing guarantees every pair sharing a >=32-char run is a
-        # candidate; verify keeps exactly LCS >= 32 — so the operator's
-        # output EQUALS the all-positions 32-gram join relation
-        "winnow_substring_pairs_docs": """
-            WITH gp AS (
-              SELECT doc_id, text, unnest(generate_series(1, length(text) - 31)) AS i
-              FROM documents WHERE length(text) >= 32),
-            g AS (
-              SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 32) AS gram
-              FROM gp)
-            SELECT x.doc_id AS a, y.doc_id AS b
-            FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
-            GROUP BY 1, 2
-        """,
+        "winnow_substring_pairs_docs": _winnow_oracle_sql(),
         "srp_topk_embeddings": _srp_oracle_sql(),
         "simhash_docs": _simhash_oracle_sql(),
+        "minhash_pairs_docs": _minhash_oracle_sql(),
     }

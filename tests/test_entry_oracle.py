@@ -59,6 +59,72 @@ def test_query_matches_duckdb_oracle(spark, ddb, name):
             assert (sc.astype(str) == oc.astype(str)).all(), f"{name}.{c} mismatch"
 
 
+def test_fixture_is_ascii_with_short_tokens(ddb):
+    """The simhash / minhash HUGEINT oracles index text with
+    substr()/ord() (character semantics) while the numpy kernels hash
+    UTF-8 BYTES, and the simhash POW table covers tokens ≤ 64 bytes.
+    Both are equivalent only on ASCII fixtures with short tokens —
+    pin that precondition so a fixture change fails HERE, not as a
+    silent value divergence (ADVICE r2)."""
+    bad = ddb.sql(
+        "SELECT count(*) AS n FROM documents WHERE strlen(text) <> length(text)"
+    ).fetchone()[0]
+    assert bad == 0, f"{bad} non-ASCII documents break byte/char oracle parity"
+    longest = ddb.sql(
+        "SELECT max(strlen(t)) FROM (SELECT unnest(string_split_regex(text,"
+        " '[ \t\n\x0b\x0c\r]+')) AS t FROM documents)"
+    ).fetchone()[0]
+    assert longest <= 64, f"token of {longest} bytes exceeds the oracle POW table"
+
+
+def test_winnow_oracle_with_duplicate_texts(spark):
+    """ADVICE r2 (medium): the winnow oracle must state the
+    cluster-preserving contract, and a fixture WITH duplicate texts
+    must exercise it — identical texts collapse to a min-id rep, so
+    (dup-member, third-doc) pairs are never emitted even when they
+    share a 32-gram; the member reaches the third doc through its rep.
+    """
+    import duckdb
+    from deduplication_and_compression_spark.operators.substring import (
+        substring_pairs,
+    )
+    from tests.conftest import pairs_set, transitive_closure_pairs
+
+    run = "the quick brown fox jumps over the lazy dog near the river bank"
+    assert len(run) >= 32
+    rows = [
+        (1, f"AAA {run} tail one copy zero."),      # rep of the dup group
+        (2, f"AAA {run} tail one copy zero."),      # identical dup
+        (3, f"AAA {run} tail one copy zero."),      # identical dup
+        (4, f"BBB prefix distinct {run} suffix."),  # third doc sharing the run
+        (5, "short identical text < 32 chars"),     # dup group under L
+        (6, "short identical text < 32 chars"),
+        (7, "totally unrelated document with nothing shared at all here."),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    got = pairs_set(
+        substring_pairs(
+            spark.createDataFrame(pdf), id_col="doc_id", text_col="text"
+        ).toPandas()
+    )
+    con = duckdb.connect()
+    con.register("docs_dup", pdf)
+    want = {
+        (a, b)
+        for a, b in con.sql(
+            entrymod._winnow_oracle_sql(table="docs_dup")
+        ).fetchall()
+    }
+    assert got == want
+    # the ADVICE scenario, explicitly: star + rep-cross, no member-cross
+    assert (1, 2) in got and (1, 3) in got and (1, 4) in got
+    assert (2, 4) not in got and (3, 4) not in got and (2, 3) not in got
+    assert not any(5 in p or 6 in p or 7 in p for p in got)
+    # cluster equivalence with the all-positions relation is preserved
+    allpos = {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4)}
+    assert transitive_closure_pairs(got) == transitive_closure_pairs(allpos)
+
+
 def test_rows_only_queries_run(spark):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()

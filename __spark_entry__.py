@@ -90,12 +90,15 @@ def _q_fp(spark, sf):
 # clusters, savings); a production pipeline computes it once, so the
 # contract layer does too — persisted per (session, sf_dir), exactly
 # like a materialized intermediate checkpoint table.  The pair table
-# itself is tiny (threshold-surviving pairs only).
+# itself is tiny (threshold-surviving pairs only).  Keyed on the
+# SESSION OBJECT (not id(spark): ids alias after GC, handing back a
+# DataFrame bound to a stopped session — ADVICE r2); the strong
+# reference is intentional, the memo's lifetime IS the session's.
 _PAIR_MEMO: dict = {}
 
 
 def _bigram_pairs(spark, sf):
-    key = (id(spark), sf)
+    key = (spark, sf)
     if key not in _PAIR_MEMO:
         _PAIR_MEMO[key] = (
             textops.bigram_jaccard_pairs_auto(_docs(spark, sf), threshold_bp=5000)
@@ -172,10 +175,13 @@ def _q_winnow_pairs_docs(spark, sf):
 
 
 _EMB_DIM = 64  # driver embeddings.parquet schema (fixed-width array<float>)
-# multi-table SRP config: the fixture's true top-5 neighbors sit at
-# cos ≈ 0.32 (θ ≈ 71°), so recall needs wide tables — b=4, L=12 gives
-# measured recall@5 ≈ 0.82 (gated ≥ 0.7 in tests/test_similarity.py);
-# clustered real-world embeddings support higher b / lower L
+# FIXTURE-LOCAL SRP config: the fixture's true top-5 neighbors sit at
+# cos ≈ 0.32 (θ ≈ 71°) on uniform-random vectors, so recall needs wide
+# shallow tables — b=4, L=12, no probing gives measured recall@5 ≈ 0.82
+# (gated ≥ 0.7 in tests/test_similarity.py).  This is NOT the operator
+# default: srp_bucket_topk defaults to deep codes (b=16) with radius-1
+# multi-probe, the sub-quadratic scale path (candidate bound in its
+# docstring, clustered-fixture recall gate in tests/test_similarity.py).
 _SRP_BITS, _SRP_TABLES, _SRP_K = 4, 12, 5
 
 
@@ -183,7 +189,7 @@ def _q_srp_topk(spark, sf):
     # dim passed explicitly: no driver-side .first() at plan-build time
     return srp_bucket_topk(
         _embs(spark, sf), n_bits=_SRP_BITS, k=_SRP_K, dim=_EMB_DIM,
-        n_tables=_SRP_TABLES,
+        n_tables=_SRP_TABLES, probe_radius=0,
     ).select("query_id", "neighbor_id", "rank")
 
 

@@ -87,13 +87,24 @@ def phash64(pixels: np.ndarray) -> int:
     h, w = gray.shape
     ys = (np.arange(9) * h) // 8
     xs = (np.arange(9) * w) // 8
-    cells = np.empty((8, 8), dtype=np.float64)
-    for i in range(8):
-        for j in range(8):
-            cells[i, j] = gray[ys[i] : max(ys[i + 1], ys[i] + 1),
-                               xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
-    bits = (cells > cells.mean()).flatten()
-    v = np.uint64(0)
-    for idx in np.flatnonzero(bits).astype(np.uint64):
-        v |= np.uint64(1) << idx
+    if h >= 8 and w >= 8:
+        # two reduceat passes (block row sums, then block column sums)
+        # replace the 8x8 Python cell loop; block boundaries are the
+        # same //-derived irregular edges, areas divide the sums back
+        # to means
+        rows = np.add.reduceat(gray, ys[:8], axis=0)
+        cells = np.add.reduceat(rows, xs[:8], axis=1)
+        cells /= np.outer(np.diff(ys), np.diff(xs))
+    else:
+        # degenerate tiny images: blocks overlap (ys/xs repeat), which
+        # reduceat cannot express — keep the explicit slice loop
+        cells = np.empty((8, 8), dtype=np.float64)
+        for i in range(8):
+            for j in range(8):
+                cells[i, j] = gray[ys[i] : max(ys[i + 1], ys[i] + 1),
+                                   xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+    bits = (cells > cells.mean()).ravel()
+    v = (bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        dtype=np.uint64
+    )
     return int(v.astype(np.int64))

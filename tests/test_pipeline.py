@@ -82,6 +82,66 @@ def test_resume_equals_single_shot(spark, images_df, cfg, pipe_result):
     assert a1.equals(a2)
 
 
+def test_no_storage_growth_across_runs(spark, images_df, cfg, tmp_path_factory):
+    """Unpersist discipline (VERDICT r2 ask #5): operator-internal
+    persists are released after each stage's checkpoint write, so
+    consecutive pipeline runs in one session must not grow the set of
+    persisted RDDs."""
+    import gc
+    import time as _time
+
+    jsc = spark.sparkContext._jsc
+
+    def settled_count(bound: int | None) -> int:
+        """Persisted-RDD count after GC settles: localCheckpoint blocks
+        (CC rounds) are released by Spark's ContextCleaner once their
+        references drop, which needs a GC cycle on both sides."""
+        n = jsc.getPersistentRDDs().size()
+        for _ in range(20):
+            if bound is not None and n <= bound:
+                break
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            _time.sleep(0.5)
+            n = jsc.getPersistentRDDs().size()
+        return n
+
+    run_pipeline(
+        spark, images_df, tmp_path_factory.mktemp("storA"), cfg,
+        tiers=("exact", "minhash"), resume=False,
+    )
+    n_after_first = settled_count(None)
+    run_pipeline(
+        spark, images_df, tmp_path_factory.mktemp("storB"), cfg,
+        tiers=("exact", "minhash"), resume=False,
+    )
+    n_after_second = settled_count(n_after_first)
+    assert n_after_second <= n_after_first, (
+        f"storage grew across runs: {n_after_first} -> {n_after_second}"
+    )
+
+
+def test_connected_components_leaves_session_conf_alone(spark):
+    """CC sizes its round shuffles with explicit repartitions; it must
+    not write session-global conf (VERDICT r2 ask #7) — grep-assert the
+    source, and check the conf value survives a run bit-for-bit."""
+    import inspect
+    from deduplication_and_compression_spark.operators import components
+
+    src = inspect.getsource(components)
+    assert "conf.set" not in src
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(40)], ["a", "b"]
+    )
+    from deduplication_and_compression_spark.operators.components import (
+        connected_components,
+    )
+    labels = connected_components(edges)
+    assert labels.count() == 41
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
 def test_resume_invalidated_by_config_change(spark, images_df, cfg, pipe_result):
     """A different config fingerprint must NOT reuse checkpoints."""
     from dataclasses import replace

@@ -75,3 +75,39 @@ def test_verify_pixel_duplicates_oracle(spark, images_df, cfg):
     v = verify_pixel_duplicates(pairs, images_df, cfg.psnr_threshold_db).toPandas()
     assert len(v) > 0
     assert v["pixel_ok"].all()  # exact dups are byte-identical → PSNR inf
+
+
+def test_phash64_vectorized_matches_cell_loop(fixture_pdf):
+    """The reduceat-based phash64 must be bit-identical to the original
+    8x8 slice-loop formulation (VERDICT r2 ask #10) — checked over every
+    fixture image plus random sizes including non-multiple-of-8 edges."""
+    import numpy as np
+    from deduplication_and_compression_spark.functions.images import (
+        decode_image, phash64,
+    )
+
+    def phash64_cell_loop(pixels):
+        gray = pixels.astype(np.float64).mean(axis=2)
+        h, w = gray.shape
+        ys = (np.arange(9) * h) // 8
+        xs = (np.arange(9) * w) // 8
+        cells = np.empty((8, 8), dtype=np.float64)
+        for i in range(8):
+            for j in range(8):
+                cells[i, j] = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                                   xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+        bits = (cells > cells.mean()).flatten()
+        v = np.uint64(0)
+        for idx in np.flatnonzero(bits).astype(np.uint64):
+            v |= np.uint64(1) << idx
+        return int(v.astype(np.int64))
+
+    images, _ = fixture_pdf
+    for blob in images["bytes"].head(300):
+        px = decode_image(blob)
+        assert phash64(px) == phash64_cell_loop(px)
+    rng = np.random.default_rng(11)
+    for _ in range(100):
+        h, w = int(rng.integers(3, 70)), int(rng.integers(3, 70))
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert phash64(px) == phash64_cell_loop(px), (h, w)

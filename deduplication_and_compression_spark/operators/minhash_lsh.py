@@ -44,9 +44,13 @@ def minhash_signatures(
     cfg: DedupConfig = DEFAULT_CONFIG,
     id_col: str = "image_id",
     text_col: str = "caption",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, sig: array<long>[num_perm], bands: array<long>[lsh_bands])
-    — one vectorized UDF pass.
+    """(id, *keep_cols, sig: array<long>[num_perm],
+    bands: array<long>[lsh_bands]) — one vectorized UDF pass.
+
+    ``keep_cols`` ride through the projection — the streaming screen
+    uses it to retain the caption without a (stream-stream) re-join.
 
     The band bucket keys ride along in the same Arrow batch as the
     signature: band b = splitmix64(FNV-fold of lanes b*r..b*r+r-1)
@@ -73,9 +77,12 @@ def minhash_signatures(
             {"sig": list(H.u64_to_i64(mat)), "bands": list(H.u64_to_i64(bh))}
         )
 
-    st = df.select(F.col(id_col).alias("id"), _sig(F.col(text_col)).alias("_st"))
+    st = df.select(
+        F.col(id_col).alias("id"), *keep_cols, _sig(F.col(text_col)).alias("_st")
+    )
     return st.select(
-        "id", F.col("_st.sig").alias("sig"), F.col("_st.bands").alias("bands")
+        "id", *keep_cols,
+        F.col("_st.sig").alias("sig"), F.col("_st.bands").alias("bands"),
     )
 
 

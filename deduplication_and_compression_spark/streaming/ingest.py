@@ -15,9 +15,13 @@ handles INGEST + exact screening, mirroring how the reference splits
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from ..config import DedupConfig, DEFAULT_CONFIG
+from ..functions import hashing as H
 from ..operators.exact import with_content_hash
+from ..operators.minhash_lsh import band_keys, minhash_signatures
 
 
 def stream_images(
@@ -53,6 +57,129 @@ def streaming_exact_dedup(
         return hashed.withWatermark(event_time_col, watermark) \
             .dropDuplicatesWithinWatermark(["content_hash"])
     return hashed.dropDuplicates(["content_hash"])
+
+
+def streaming_near_dup_screen(
+    stream: DataFrame,
+    reference: DataFrame,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "image_id",
+    text_col: str = "caption",
+) -> DataFrame:
+    """Verified near-dup MATCH EDGES between arriving rows and a STATIC
+    reference corpus: (id, ref_id, jaccard) for every incoming row
+    whose true shingle-Jaccard against a reference caption is ≥
+    cfg.jaccard_threshold.
+
+    This is the incremental-ingest shape of a training-data pipeline:
+    "is this new document a near-dup of anything already in the
+    corpus?"  Entirely STATELESS streaming — signature UDF, band
+    explode, then two stream-static equi-joins (band keys → reference
+    bands, ref_id → reference signatures+texts), a JVM lane-agreement
+    prefilter, and the same Arrow-batched exact-Jaccard verify the
+    batch tier uses.  No watermarks or streaming state: every operator
+    is a per-row map or a stream-static join, so state size is zero
+    and the static side behaves like a broadcast dimension table.
+
+    Caveats, both documented consequences of statelessness:
+    - a (stream row, reference row) pair sharing several band buckets
+      emits one edge per shared band; dedupe downstream in batch (or
+      use run_screen_once's foreachBatch path, which dedupes exactly
+      per micro-batch before verifying);
+    - the stream row's caption and signature ride through the 32-way
+      band explode (a stream-stream self-join to re-attach them is not
+      expressible without state).  At screening scale this is bounded
+      by bands × caption bytes per row.
+    """
+    t = cfg.jaccard_threshold
+    slack = 3.0 * (t * (1.0 - t) / cfg.num_perm) ** 0.5
+    k = cfg.shingle_k
+
+    ref_sigs = minhash_signatures(reference, cfg, id_col, text_col)
+    ref_bands = band_keys(ref_sigs, cfg).select(
+        F.col("id").alias("ref_id"), "band_idx", "band_hash"
+    )
+    ref_side = (
+        ref_bands.join(
+            ref_sigs.select(F.col("id").alias("ref_id"), F.col("sig").alias("_rsig")),
+            "ref_id",
+        ).join(
+            reference.select(
+                F.col(id_col).alias("ref_id"), F.col(text_col).alias("_rtxt")
+            ),
+            "ref_id",
+        )
+    )
+
+    # signatures with the caption riding through the SAME projection —
+    # a re-join to fetch the text back would be a stream-stream join
+    sigs = minhash_signatures(
+        stream.withColumn("_txt", F.col(text_col)),
+        cfg, id_col, text_col, keep_cols=("_txt",),
+    )
+    # carry text + sig through the explode (see caveat above)
+    s = (
+        sigs.filter(F.col("sig")[0] != F.lit(-1))
+        .select("id", "sig", "_txt", F.posexplode("bands").alias("band_idx", "band_hash"))
+    )
+
+    cand = s.join(ref_side, ["band_idx", "band_hash"]).where(
+        F.col("id") != F.col("ref_id")
+    )
+    est = F.aggregate(
+        F.zip_with("sig", "_rsig", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.lit(float(cfg.num_perm))
+    cand = cand.where(est >= F.lit(t - slack))
+
+    @F.pandas_udf(T.DoubleType())
+    def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        return pd.Series(
+            H.jaccard_batch(ta.fillna("").tolist(), tb.fillna("").tolist(), k),
+            dtype="float64",
+        )
+
+    return (
+        cand.withColumn("jaccard", _jac("_txt", "_rtxt"))
+        .where(F.col("jaccard") >= F.lit(t))
+        .select("id", "ref_id", "jaccard")
+    )
+
+
+def run_screen_once(
+    spark: SparkSession,
+    input_dir: str,
+    reference: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+) -> None:
+    """Drain input_dir, emitting DEDUPED verified near-dup edges
+    (id, ref_id, jaccard) against the static reference, then stop.
+
+    foreachBatch hands each micro-batch over as a plain DataFrame, so
+    the per-band duplicate edges of the stateless plan are collapsed
+    with an exact batch dropDuplicates before the sink — the standard
+    Structured Streaming pattern for per-batch exact semantics.
+    Restart with the same checkpoint_dir to resume incrementally.
+    """
+    stream = stream_images(spark, input_dir)
+
+    def _screen_batch(batch_df: DataFrame, _epoch: int) -> None:
+        (
+            streaming_near_dup_screen(batch_df, reference, cfg)
+            .dropDuplicates(["id", "ref_id"])
+            .write.mode("append").parquet(output_dir)
+        )
+
+    (
+        stream.writeStream.foreachBatch(_screen_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
 
 
 def run_ingest_once(

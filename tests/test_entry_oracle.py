@@ -125,6 +125,55 @@ def test_winnow_oracle_with_duplicate_texts(spark):
     assert transitive_closure_pairs(got) == transitive_closure_pairs(allpos)
 
 
+def test_minhash_oracle_on_adversarial_table(spark):
+    """The sf0.01 fixture has zero duplicate texts, so the driver gate
+    never exercises the minhash oracle's value-collapse branch (intra
+    star edges) — the exact blind spot ADVICE r2 found in the winnow
+    oracle.  Run the SAME parameterized SQL against a table that hits
+    every branch: identical-text groups (collapse + star), a planted
+    near-dup pair, sub-shingle-length and empty texts (sentinel
+    filter), and an unrelated doc."""
+    import duckdb
+    from deduplication_and_compression_spark.operators.minhash_lsh import (
+        minhash_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "falls gently on the quiet village roofs at dusk tonight"
+    )
+    near = base.replace("quiet", "sleepy").replace("dusk", "dawn")
+    rows = [
+        (1, base), (2, base), (3, base),   # identical-text group → star
+        (4, near),                          # near-dup of the group rep
+        (5, "abc"),                         # < shingle_k: no signature
+        (6, ""),                            # empty: no signature
+        (7, "completely different content with no overlap whatsoever x"),
+        (8, "zzzz qqqq wwww eeee rrrr tttt yyyy uuuu iiii oooo pppp dd"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    got = {
+        (r["a"], r["b"])
+        for r in minhash_pairs(
+            spark.createDataFrame(pdf), id_col="doc_id", text_col="text"
+        ).select("a", "b").collect()
+    }
+    con = duckdb.connect()
+    con.register("docs_adv", pdf)
+    want = {
+        (a, b)
+        for a, b in con.sql(
+            entrymod._minhash_oracle_sql(table="docs_adv")
+        ).fetchall()
+    }
+    assert got == want, (sorted(got), sorted(want))
+    # branch sanity: star edges from the collapse, no member-member
+    # pair, the near-dup reaches the group only through its rep
+    assert {(1, 2), (1, 3)} <= got and (2, 3) not in got
+    assert (1, 4) in got and (2, 4) not in got and (3, 4) not in got
+    assert not any(5 in p or 6 in p for p in got)
+
+
 def test_rows_only_queries_run(spark):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()

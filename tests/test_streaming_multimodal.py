@@ -13,7 +13,9 @@ from deduplication_and_compression_spark.operators.multimodal import (
     image_features, thumbnails, verify_pixel_duplicates,
 )
 from deduplication_and_compression_spark.operators.exact import exact_pairs
-from deduplication_and_compression_spark.streaming.ingest import run_ingest_once
+from deduplication_and_compression_spark.streaming.ingest import (
+    run_ingest_once, run_screen_once, streaming_near_dup_screen,
+)
 
 
 def test_streaming_ingest_dedups_across_batches(spark, fixture_pdf, tmp_path):
@@ -111,3 +113,56 @@ def test_phash64_vectorized_matches_cell_loop(fixture_pdf):
         h, w = int(rng.integers(3, 70)), int(rng.integers(3, 70))
         px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         assert phash64(px) == phash64_cell_loop(px), (h, w)
+
+
+def test_streaming_near_dup_screen(spark, cfg, tmp_path):
+    """Stream-static near-dup screening: arriving captions that are
+    near-dups of a STATIC reference corpus come out as verified
+    (id, ref_id, jaccard) edges; unrelated and sub-shingle rows do not.
+    Uses the foreachBatch drain (run_screen_once), which dedupes the
+    per-band duplicate edges of the stateless plan exactly."""
+    import pandas as pd
+
+    ref_caps = [
+        "a striped cat sits on the warm windowsill watching birds outside",
+        "heavy rain over the harbor as fishing boats return at dusk",
+        "children fly bright kites across the long empty summer beach",
+    ]
+    reference = spark.createDataFrame(
+        pd.DataFrame({"image_id": [f"ref{i}" for i in range(3)],
+                      "caption": ref_caps})
+    )
+    arriving = pd.DataFrame({
+        "image_id": ["s0", "s1", "s2", "s3"],
+        "bytes": [b"", b"", b"", b""],
+        "w": np.array([1] * 4, dtype=np.int32),
+        "h": np.array([1] * 4, dtype=np.int32),
+        "fmt": ["raw"] * 4,
+        "caption": [
+            # near-dup of ref0 (small edit)
+            "a striped cat sits on the warm windowsill watching birds inside",
+            # exact dup of ref1
+            ref_caps[1],
+            # unrelated
+            "completely different text about quarterly financial reports",
+            # sub-shingle-length
+            "abc",
+        ],
+        "phash": [0] * 4,
+    })
+    inp, outp, chk = tmp_path / "sin", tmp_path / "sout", tmp_path / "schk"
+    inp.mkdir()
+    arriving.to_parquet(inp / "drop1.parquet", index=False)
+    run_screen_once(spark, str(inp), reference, str(outp), str(chk), cfg)
+    out = spark.read.parquet(str(outp)).toPandas()
+    got = {(r.id, r.ref_id) for r in out.itertuples()}
+    assert got == {("s0", "ref0"), ("s1", "ref1")}, got
+    # foreachBatch dedup: exactly one edge per (id, ref_id)
+    assert len(out) == len(got)
+    assert (out["jaccard"] >= cfg.jaccard_threshold).all()
+    # the stateless plan itself runs on a batch frame too (same code
+    # path the continuous-trigger variant uses), duplicates allowed
+    edges = streaming_near_dup_screen(
+        spark.createDataFrame(arriving), reference, cfg
+    ).toPandas()
+    assert {(r.id, r.ref_id) for r in edges.itertuples()} == got

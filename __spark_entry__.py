@@ -168,6 +168,17 @@ def _q_simhash_docs(spark, sf):
     return simhash_from_text(_docs(spark, sf))
 
 
+def _q_simhash_pairs_docs(spark, sf):
+    # doc-level near-dup pairs over the SimHash kernel: the image
+    # tier's pigeonhole keying + value collapse reused verbatim on a
+    # (doc_id, simhash) table; scheme pinned so plan-build stays
+    # action-free at any scale
+    sims = simhash_from_text(_docs(spark, sf))
+    return phash_hamming_pairs(
+        sims, CFG, id_col="id", hash_col="simhash", scheme="chunk4"
+    ).select("a", "b", "hamming")
+
+
 def _q_winnow_pairs_docs(spark, sf):
     return substring_pairs(
         _docs(spark, sf), CFG, id_col="doc_id", text_col="text"
@@ -217,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_substring_pairs_docs": _q_winnow_pairs_docs,
         "srp_topk_embeddings": _q_srp_topk,
         "simhash_docs": _q_simhash_docs,  # oracled via HUGEINT-mod-2^64 SQL
+        "simhash_hamming_pairs_docs": _q_simhash_pairs_docs,
         # oracled since r3: band keys are the repo's public splitmix64
         # band hash, replayed (with the whole LSH tier) in HUGEINT SQL
         "minhash_pairs_docs": _q_minhash_pairs_docs,
@@ -357,11 +369,13 @@ def _sm_chain(prefix: str, src: str, carry: tuple[str, ...]) -> str:
     return ",\n".join(out)
 
 
-def _simhash_oracle_sql() -> str:
-    """DuckDB twin of simhash_from_text: tokenize on ASCII whitespace,
-    length-prefixed polynomial hash per token, splitmix64 finalizer,
-    majority vote per bit (2*ones > n_tokens), uint64→int64 reinterpret.
-    Mirrors functions/hashing.py:token_hashes_batch + simhash_batch.
+def _simhash_cte() -> str:
+    """CTE body computing ``sim(id, simhash)`` — the DuckDB twin of
+    simhash_from_text: tokenize on ASCII whitespace, length-prefixed
+    polynomial hash per token, splitmix64 finalizer, majority vote per
+    bit (2*ones > n_tokens), uint64→int64 reinterpret.  Mirrors
+    functions/hashing.py:token_hashes_batch + simhash_batch.  Shared by
+    the per-doc simhash oracle and the doc-pair Hamming oracle.
 
     Byte-semantics caveat: strlen() counts UTF-8 bytes while
     substr()/ord() index characters, and tokens longer than
@@ -375,7 +389,7 @@ def _simhash_oracle_sql() -> str:
     step_ctes = _sm_chain("s", "s0", ("doc_id",))
     ws_class = "[ \t\n\x0b\x0c\r]+"
     return f"""
-        WITH pw AS (SELECT [{pow_list}]::HUGEINT[] AS p, [{pw2_list}]::HUGEINT[] AS p2),
+        pw AS (SELECT [{pow_list}]::HUGEINT[] AS p, [{pw2_list}]::HUGEINT[] AS p2),
         tk AS (
           SELECT doc_id,
                  unnest(list_filter(string_split_regex(text, '{ws_class}'), x -> x <> '')) AS tok
@@ -396,12 +410,44 @@ def _simhash_oracle_sql() -> str:
           SELECT b.doc_id,
                  sum(CASE WHEN 2 * b.ones > b.n THEN p2[b.i + 1] ELSE 0::HUGEINT END) AS uh
           FROM bits b CROSS JOIN pw
-          GROUP BY 1)
-        SELECT d.doc_id AS id,
-               CAST(CASE WHEN coalesce(u.uh, 0::HUGEINT) >= 9223372036854775808::HUGEINT
-                         THEN coalesce(u.uh, 0::HUGEINT) - {_M64}
-                         ELSE coalesce(u.uh, 0::HUGEINT) END AS BIGINT) AS simhash
-        FROM documents d LEFT JOIN u ON u.doc_id = d.doc_id
+          GROUP BY 1),
+        sim AS (
+          SELECT d.doc_id AS id,
+                 CAST(CASE WHEN coalesce(u.uh, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+                           THEN coalesce(u.uh, 0::HUGEINT) - {_M64}
+                           ELSE coalesce(u.uh, 0::HUGEINT) END AS BIGINT) AS simhash
+          FROM documents d LEFT JOIN u ON u.doc_id = d.doc_id)
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    return f"WITH {_simhash_cte()} SELECT id, simhash FROM sim"
+
+
+def _simhash_pairs_oracle_sql(d: int = CFG.hamming_threshold) -> str:
+    """DuckDB twin of the doc-level SimHash Hamming tier
+    (phash_hamming_pairs over simhash_from_text output) — the
+    cluster-preserving contract: identical-simhash groups collapse to
+    their min-id rep (star edges at Hamming 0), and representatives
+    pair when bit_count(xor) ≤ d (pigeonhole keying guarantees every
+    such pair is a candidate).  DuckDB's BIGINT xor + bit_count equal
+    the uint64-view popcount the Spark side computes."""
+    return f"""
+        WITH {_simhash_cte()},
+        rep AS (
+          SELECT id, simhash, min(id) OVER (PARTITION BY simhash) AS rep
+          FROM sim),
+        intra AS (
+          SELECT rep AS a, id AS b, CAST(0 AS INT) AS hamming
+          FROM rep WHERE id <> rep),
+        reps AS (SELECT id, simhash FROM rep WHERE id = rep),
+        cross_reps AS (
+          SELECT x.id AS a, y.id AS b,
+                 CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+          FROM reps x JOIN reps y ON x.id < y.id
+          WHERE bit_count(xor(x.simhash, y.simhash)) <= {d})
+        SELECT a, b, hamming FROM (
+          SELECT * FROM intra UNION ALL SELECT * FROM cross_reps)
     """
 
 
@@ -684,5 +730,6 @@ def oracle_sql() -> dict[str, str]:
         "winnow_substring_pairs_docs": _winnow_oracle_sql(),
         "srp_topk_embeddings": _srp_oracle_sql(),
         "simhash_docs": _simhash_oracle_sql(),
+        "simhash_hamming_pairs_docs": _simhash_pairs_oracle_sql(),
         "minhash_pairs_docs": _minhash_oracle_sql(),
     }

@@ -86,3 +86,28 @@ def test_whole_stage_codegen_covers_banding(spark, images_path):
     # '*(n)' prefixes mark whole-stage-codegen regions in simple mode
     assert "*(" in plan, plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_srp_codes_and_rerank_stay_jvm(spark):
+    """SRP bucketing + multi-probe + cosine re-rank must be pure JVM
+    (literal-plane folds, no Python evaluation nodes): the ANN scale
+    path cannot afford a per-row Python hop at 10^12 rows."""
+    import numpy as np
+    import pandas as pd
+    from deduplication_and_compression_spark.operators.similarity import (
+        srp_bucket_topk,
+    )
+    rng = np.random.default_rng(0)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(50),
+        "embedding": [r.astype(np.float32) for r in rng.standard_normal((50, 8))],
+    })
+    df = spark.createDataFrame(pdf)
+    plan = _plan(
+        srp_bucket_topk(df, n_bits=12, k=3, dim=8, n_tables=2, probe_radius=1),
+        "simple",
+    )
+    # no Python evaluation anywhere in the plan is the scale property;
+    # (AQE's pre-final explain of a LocalTableScan input doesn't print
+    # the *(n) codegen markers, so no assertion on those here)
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan

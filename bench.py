@@ -124,6 +124,7 @@ def main() -> None:
             "cc_bigram_clusters",
             "cosine_neighbor_stats",
             "minhash_pairs_docs",
+            "simhash_hamming_pairs_docs",
             "srp_topk_embeddings",
         ):
             timed(name, lambda name=name: qs[name](spark, sf_dir).count())

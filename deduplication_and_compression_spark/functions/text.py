@@ -7,9 +7,13 @@ shares a ≥L-char verbatim run with caption A", detected scalably by
 winnowing (Schleimer, Wilkerson & Aiken, SIGMOD'03 — public
 algorithm): g-gram hashes, min per sliding window of w, guarantee that
 any common substring of length ≥ w+g-1 yields a shared selected
-fingerprint value.  Candidates are then verified EXACTLY with a
-suffix-array + LCP longest-common-substring check (numpy
-prefix-doubling + Kasai) — the "suffix-array pass" of the north rule.
+fingerprint value — the "suffix-array pass" of the north rule, with
+the same exact-substring semantics.  The production verify is the
+batch shared-L-gram lexsort (hashing.shared_kgram_batch, LCS ≥ L ⟺
+shared L-gram); the suffix-array + Kasai LCP exact-LCS kernel below
+(numpy prefix-doubling) is kept as the independent brute-force TEST
+oracle that pins that equivalence (tests/test_text_kernels.py,
+tests/test_simhash_substring.py).
 """
 
 from __future__ import annotations

@@ -42,6 +42,7 @@ from deduplication_and_compression_spark.operators.simhash import (
     phash_hamming_pairs, simhash_from_text,
 )
 from deduplication_and_compression_spark.operators.substring import substring_pairs
+from deduplication_and_compression_spark.persistence import scoped_persist
 
 _STOP_SQL = "('a','the','of','and','to','in','is')"
 _TOKS = "string_split_regex(trim(text), '\\s+')"
@@ -172,8 +173,10 @@ def _q_simhash_pairs_docs(spark, sf):
     # doc-level near-dup pairs over the SimHash kernel: the image
     # tier's pigeonhole keying + value collapse reused verbatim on a
     # (doc_id, simhash) table; scheme pinned so plan-build stays
-    # action-free at any scale
-    sims = simhash_from_text(_docs(spark, sf))
+    # action-free at any scale.  The simhash UDF output feeds the
+    # keying explode AND both verify joins — persist it or the UDF
+    # recomputes per branch (released by the caller's persist scope)
+    sims = scoped_persist(simhash_from_text(_docs(spark, sf)))
     return phash_hamming_pairs(
         sims, CFG, id_col="id", hash_col="simhash", scheme="chunk4"
     ).select("a", "b", "hamming")

@@ -36,7 +36,7 @@ from deduplication_and_compression_spark.operators.components import (
 from deduplication_and_compression_spark.operators.minhash_lsh import minhash_pairs
 from deduplication_and_compression_spark.operators.similarity import (
     brute_force_topk, cosine_neighbor_stats, embedding_cosine_pairs,
-    srp_bucket_topk,
+    srp_bucket_topk, srp_cosine_pairs,
 )
 from deduplication_and_compression_spark.operators.simhash import (
     phash_hamming_pairs, simhash_from_text,
@@ -207,6 +207,18 @@ def _q_srp_topk(spark, sf):
     ).select("query_id", "neighbor_id", "rank")
 
 
+def _q_srp_cosine_pairs(spark, sf):
+    # the bucketed scale-path twin of embedding_cosine_pairs: same
+    # threshold + bp floor, candidates restricted to the SRP
+    # d_H <= 1 multi-probe predicate (deterministic in the seed, so
+    # the oracle replicates the approximation exactly; at the fixture
+    # config the per-pair hit probability at cos 0.3 is ~0.9995)
+    return srp_cosine_pairs(
+        _embs(spark, sf), threshold=0.3, n_bits=_SRP_BITS, dim=_EMB_DIM,
+        n_tables=_SRP_TABLES, probe_radius=1,
+    )
+
+
 def _q_brute_topk(spark, sf):
     emb = _embs(spark, sf)
     q = emb.where(F.col("vec_id") < 10)
@@ -230,6 +242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": _q_embedding_pairs,
         "winnow_substring_pairs_docs": _q_winnow_pairs_docs,
         "srp_topk_embeddings": _q_srp_topk,
+        "srp_cosine_pairs_embeddings": _q_srp_cosine_pairs,
         "simhash_docs": _q_simhash_docs,  # oracled via HUGEINT-mod-2^64 SQL
         "simhash_hamming_pairs_docs": _q_simhash_pairs_docs,
         # oracled since r3: band keys are the repo's public splitmix64
@@ -451,6 +464,46 @@ def _simhash_pairs_oracle_sql(d: int = CFG.hamming_threshold) -> str:
           WHERE bit_count(xor(x.simhash, y.simhash)) <= {d})
         SELECT a, b, hamming FROM (
           SELECT * FROM intra UNION ALL SELECT * FROM cross_reps)
+    """
+
+
+def _srp_pairs_oracle_sql(n_bits: int = _SRP_BITS, n_tables: int = _SRP_TABLES,
+                          probe_radius: int = 1, threshold: float = 0.3,
+                          dim: int = _EMB_DIM, seed: int = 0xB17_5EED) -> str:
+    """DuckDB twin of srp_cosine_pairs: per-table SRP codes from the
+    same seed-derived literal hyperplanes, candidate pairs where ANY
+    table's codes sit within ``probe_radius`` bit flips
+    (bit_count(xor) ≤ r — the multi-probe predicate), then the exact
+    cosine ≥ threshold filter and bp floor of embedding_cosine_pairs."""
+    from deduplication_and_compression_spark.operators.similarity import srp_planes
+
+    planes = srp_planes(n_tables, n_bits, dim, seed)
+
+    def code_expr(t: int) -> str:
+        return "(" + " + ".join(
+            f"(CASE WHEN list_inner_product(v, [{', '.join(repr(float(x)) for x in planes[t, i])}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(n_bits)
+        ) + ")"
+
+    codes_list = ", ".join(code_expr(t) for t in range(n_tables))
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id, [{codes_list}] AS codes FROM e),
+        ct AS (
+          SELECT vec_id, t.i AS t, codes[t.i + 1] AS code
+          FROM c, (SELECT unnest(range({n_tables})) AS i) t(i)),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+          FROM ct x JOIN ct y ON x.t = y.t AND x.vec_id < y.vec_id
+          WHERE bit_count(xor(x.code::BIGINT, y.code::BIGINT)) <= {probe_radius}),
+        s AS (
+          SELECT cand.a, cand.b,
+                 list_inner_product(p.v, q.v)
+                   / (sqrt(list_inner_product(p.v, p.v)) * sqrt(list_inner_product(q.v, q.v))) AS cos
+          FROM cand JOIN e p ON p.vec_id = cand.a JOIN e q ON q.vec_id = cand.b)
+        SELECT a, b, CAST(floor(cos * 10000.0) AS BIGINT) AS cos_bp
+        FROM s WHERE cos >= {threshold!r}
     """
 
 
@@ -732,6 +785,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "winnow_substring_pairs_docs": _winnow_oracle_sql(),
         "srp_topk_embeddings": _srp_oracle_sql(),
+        "srp_cosine_pairs_embeddings": _srp_pairs_oracle_sql(),
         "simhash_docs": _simhash_oracle_sql(),
         "simhash_hamming_pairs_docs": _simhash_pairs_oracle_sql(),
         "minhash_pairs_docs": _minhash_oracle_sql(),

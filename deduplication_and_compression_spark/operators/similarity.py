@@ -118,6 +118,108 @@ def srp_planes(n_tables: int, n_bits: int, dim: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_tables, n_bits, dim))
 
 
+def _srp_code_table(
+    emb: DataFrame,
+    planes: np.ndarray,
+    n_bits: int,
+    n_tables: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, t, bucket): one posexplode over the per-table SRP codes —
+    JVM-side literal-plane folds, pruned to (id, vec) before the
+    explode so nothing wider rides it."""
+
+    def code_col(vc, t: int):
+        out = F.lit(0)
+        for i in range(n_bits):
+            lit = F.array(*[F.lit(float(x)) for x in planes[t, i]])
+            d = F.aggregate(
+                F.zip_with(vc, lit, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            out = out + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return out
+
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(*[code_col(F.col(vec_col), t) for t in range(n_tables)])
+        ).alias("t", "bucket"),
+    )
+
+
+def _srp_probe_codes(codes: DataFrame, n_bits: int, probe_radius: int) -> DataFrame:
+    """Multi-probe expansion of the QUERY side: each code also probes
+    every bucket within ``probe_radius`` bit flips (flip 0 = the exact
+    bucket); the data side stays one row per (id, table).
+    d_H(code_x, code_y) ≤ 1 is symmetric, so every such pair is found
+    in both directions."""
+    if probe_radius < 1:
+        return codes
+    flips = F.array(F.lit(0), *[F.lit(1 << i) for i in range(n_bits)])
+    return codes.select(
+        "id", "t", F.explode(flips).alias("_f"), F.col("bucket").alias("_b0")
+    ).select("id", "t", F.col("_b0").bitwiseXOR(F.col("_f")).alias("bucket"))
+
+
+def srp_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_bits: int = 16,
+    seed: int = 0xB17_5EED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_tables: int = 8,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """(a, b, cos_bp): embedding near-dup PAIRS via SRP bucketing —
+    the 10^12-row path promised by embedding_cosine_pairs' docstring.
+    Instead of the exact O(n²) cross join, candidates are id pairs
+    whose SRP codes land within ``probe_radius`` bit flips in ANY of
+    the L tables; survivors get the exact cosine and the same
+    ≥ threshold filter + bp floor as the exact operator.
+
+    The output is the exact relation RESTRICTED to the candidate
+    predicate — a deterministic function of (seed, b, L, radius), so
+    the DuckDB oracle replicates it bit-for-bit and recall versus the
+    exact operator is a measurable, gateable number (per-pair hit
+    probability 1-(1-(pᵇ + b·pᵇ⁻¹(1-p)))^L at radius 1, p = 1-θ/π).
+    Candidate volume follows the srp_bucket_topk bound:
+    ≤ L·(1+b)·n²/2ᵇ expected — choose b ≈ log₂(n/c) at scale.
+    """
+    if dim is None:
+        raise ValueError("pass dim explicitly (embedding width)")
+    planes = srp_planes(n_tables, n_bits, dim, seed)
+    codes = _srp_code_table(emb, planes, n_bits, n_tables, id_col, vec_col)
+    qcodes = _srp_probe_codes(codes, n_bits, probe_radius)
+    cand = (
+        qcodes.alias("x")
+        .join(codes.alias("y"), ["t", "bucket"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .dropDuplicates()
+    )
+    vecs = emb.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n"))
+    return (
+        cand.join(
+            vecs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"),
+                        F.col("_n").alias("_na")),
+            "a",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"),
+                        F.col("_n").alias("_nb")),
+            "b",
+        )
+        .withColumn("cos", dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", F.floor(F.col("cos") * 10000.0).cast("long").alias("cos_bp"))
+    )
+
+
 def srp_bucket_topk(
     emb: DataFrame,
     n_bits: int = 16,
@@ -162,43 +264,8 @@ def srp_bucket_topk(
     if dim is None:
         raise ValueError("pass dim explicitly (embedding width)")
     planes = srp_planes(n_tables, n_bits, dim, seed)
-
-    def code_col(vc, t: int):
-        out = F.lit(0)
-        for i in range(n_bits):
-            lit = F.array(*[F.lit(float(x)) for x in planes[t, i]])
-            d = F.aggregate(
-                F.zip_with(vc, lit, lambda a, b: a.cast("double") * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            out = out + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        return out
-
-    # (id, table, bucket): one posexplode over the per-table codes —
-    # prune to (id, vec) first so nothing wider rides the explode
-    codes = emb.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.array(*[code_col(F.col(vec_col), t) for t in range(n_tables)])
-        ).alias("t", "bucket"),
-    )
-    if probe_radius >= 1:
-        # asymmetric probing: only the QUERY side fans out to its
-        # 1-bit-flip buckets (flip 0 = the exact bucket); the data side
-        # stays one row per (id, table).  d_H(code_x, code_y) ≤ 1 is
-        # symmetric, so every such pair is found in both directions.
-        flips = F.array(F.lit(0), *[F.lit(1 << i) for i in range(n_bits)])
-        qcodes = codes.select(
-            "id",
-            "t",
-            F.explode(flips).alias("_f"),
-            F.col("bucket").alias("_b0"),
-        ).select(
-            "id", "t", F.col("_b0").bitwiseXOR(F.col("_f")).alias("bucket")
-        )
-    else:
-        qcodes = codes
+    codes = _srp_code_table(emb, planes, n_bits, n_tables, id_col, vec_col)
+    qcodes = _srp_probe_codes(codes, n_bits, probe_radius)
     cand = (
         qcodes.alias("x")
         .join(codes.alias("y"), ["t", "bucket"])

@@ -13,7 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from deduplication_and_compression_spark.operators.similarity import (
-    brute_force_topk, srp_bucket_topk,
+    brute_force_topk, embedding_cosine_pairs, srp_bucket_topk, srp_cosine_pairs,
 )
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -109,3 +109,26 @@ def test_srp_deep_codes_multiprobe_recall_on_clustered_fixture(spark):
     }
     recall = len(got & want) / len(want)
     assert recall >= 0.7, f"deep-code multiprobe recall@{K} = {recall:.3f}"
+
+
+def test_srp_cosine_pairs_subset_and_recall(emb):
+    """The bucketed near-dup pair join is the exact relation restricted
+    to the SRP candidate predicate: every emitted pair must appear in
+    the exact O(n^2) operator with an IDENTICAL cos_bp (no false
+    positives, no value drift), and at the fixture config (b=4, L=12,
+    radius 1: per-pair hit probability ~0.9995 at cos 0.3) recall must
+    be >= 0.95."""
+    exact = {
+        (r["a"], r["b"]): r["cos_bp"]
+        for r in embedding_cosine_pairs(emb, threshold=0.3).collect()
+    }
+    approx = {
+        (r["a"], r["b"]): r["cos_bp"]
+        for r in srp_cosine_pairs(
+            emb, threshold=0.3, n_bits=4, dim=64, n_tables=12, probe_radius=1
+        ).collect()
+    }
+    assert set(approx) <= set(exact)
+    assert all(approx[p] == exact[p] for p in approx)
+    recall = len(approx) / len(exact)
+    assert recall >= 0.95, f"srp pair recall {recall:.4f}"

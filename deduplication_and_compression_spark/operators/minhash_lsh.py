@@ -273,6 +273,7 @@ def verify_jaccard(
     cfg: DedupConfig = DEFAULT_CONFIG,
     id_col: str = "image_id",
     text_col: str = "caption",
+    n_candidates: int | None = None,
 ) -> DataFrame:
     """Attach TRUE k-shingle Jaccard to candidate (a,b) pairs and keep
     those ≥ cfg.jaccard_threshold.  Texts join in via two hash joins;
@@ -282,7 +283,11 @@ def verify_jaccard(
     The candidate set is materialized (scoped persist + count) so the
     pre-UDF fan-out is sized to the actual candidate volume — the
     count costs one pass over an already-computed small table and
-    buys a Python stage whose task count matches its work.
+    buys a Python stage whose task count matches its work.  Pass a
+    precomputed ``n_candidates`` to keep plan construction action-free;
+    on a STREAMING candidates frame (count() would raise) the fan-out
+    is skipped entirely — micro-batches carry their own partitioning
+    (ADVICE r3: plan-build must not trigger jobs it can avoid).
     """
     k = cfg.shingle_k
     texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_txt"))
@@ -296,13 +301,15 @@ def verify_jaccard(
             dtype="float64",
         )
 
-    candidates = scoped_persist(candidates)
-    n_cands = candidates.count()
+    if n_candidates is None and not candidates.isStreaming:
+        candidates = scoped_persist(candidates)
+        n_candidates = candidates.count()
     joined = (
         candidates.join(texts.withColumnRenamed("_tid", "a").withColumnRenamed("_txt", "_ta"), "a")
         .join(texts.withColumnRenamed("_tid", "b").withColumnRenamed("_txt", "_tb"), "b")
     )
-    joined = sized_fanout(joined, n_cands)
+    if n_candidates is not None:
+        joined = sized_fanout(joined, n_candidates)
     return (
         joined.withColumn("jaccard", _jac("_ta", "_tb"))
         .filter(F.col("jaccard") >= F.lit(cfg.jaccard_threshold))

@@ -66,19 +66,33 @@ def verify_substring(
     cfg: DedupConfig = DEFAULT_CONFIG,
     id_col: str = "image_id",
     text_col: str = "caption",
+    n_candidates: int | None = None,
 ) -> DataFrame:
     """Keep candidate pairs whose sides share a verbatim run of ≥ L
-    characters.
+    UTF-8 BYTES.
+
+    Semantics are BYTE k-grams, not character k-grams (ADVICE r3): on
+    non-ASCII text a shared 32-byte run may span fewer than 32 code
+    points, so this keeps some pairs the old per-character LCS kernel
+    would have dropped.  L counts bytes everywhere in this tier — the
+    winnowing fingerprints (functions/text.py:winnow_fingerprints)
+    hash byte windows of the UTF-8 encoding too, so candidate gen and
+    verify agree; only the suffix-array TEST oracle
+    (functions/text.py:lcs_length) is character-based, and the tests
+    pin ASCII fixtures where the two coincide.
 
     LCS ≥ L ⟺ the two sides share at least one byte L-gram, so the
     whole Arrow batch is verified with ONE lexsort over L-gram hashes
     (functions/hashing.py:shared_kgram_batch) — no per-pair Python.
     The previous implementation ran a per-pair suffix-array +
-    interpreted Kasai LCP loop here; that exact-LCS kernel
-    (functions/text.py:lcs_length) survives as the brute-force test
-    oracle, while the verify path is now batch-vectorized with an
-    identical keep/drop decision (2^-64-per-gram-pair hash-collision
-    caveat, same class as the value-collapse caveat).
+    interpreted Kasai LCP loop here; that exact-LCS kernel survives as
+    the brute-force test oracle, while the verify path is now
+    batch-vectorized with an identical keep/drop decision on ASCII
+    (2^-64-per-gram-pair hash-collision caveat, same class as the
+    value-collapse caveat).
+
+    Pass ``n_candidates`` to keep plan construction action-free; on a
+    streaming frame the fan-out is skipped (see verify_jaccard).
     """
     L = cfg.min_substring_len
     texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_txt"))
@@ -89,14 +103,16 @@ def verify_substring(
             H.shared_kgram_batch(ta.fillna("").tolist(), tb.fillna("").tolist(), L)
         )
 
-    candidates = scoped_persist(candidates)
-    n_cands = candidates.count()
+    if n_candidates is None and not candidates.isStreaming:
+        candidates = scoped_persist(candidates)
+        n_candidates = candidates.count()
     joined = (
         candidates.join(texts.withColumnRenamed("_tid", "a").withColumnRenamed("_txt", "_ta"), "a")
         .join(texts.withColumnRenamed("_tid", "b").withColumnRenamed("_txt", "_tb"), "b")
     )
     # fan out sized to the candidate count (see verify_jaccard note)
-    joined = sized_fanout(joined, n_cands)
+    if n_candidates is not None:
+        joined = sized_fanout(joined, n_candidates)
     return (
         joined.withColumn("_hit", _shares_run("_ta", "_tb"))
         .filter(F.col("_hit"))

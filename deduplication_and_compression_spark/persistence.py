@@ -20,38 +20,56 @@ Outside any scope it degrades to a plain persist (exploratory /
 notebook use keeps today's behavior); inside a scope the frame is
 registered with the innermost scope and unpersisted when it exits.
 Scopes nest; each releases only its own registrations.
+
+Scopes are PER-THREAD (threading.local): with concurrent driver
+threads — parallel job submission, or a foreachBatch streaming query
+running alongside batch work in one session — each thread sees only
+its own scope stack, so another thread's scope exit can never
+unpersist a DataFrame mid-query in this thread (ADVICE r3).  A scope
+opened in one thread does not govern persists made in threads it
+spawns; each worker thread opens its own.
 """
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
-_SCOPES: list[list[DataFrame]] = []
+_LOCAL = threading.local()
+
+
+def _scopes() -> list[list[DataFrame]]:
+    if not hasattr(_LOCAL, "scopes"):
+        _LOCAL.scopes = []
+    return _LOCAL.scopes
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
-    """persist() that the innermost active persist_scope will release."""
+    """persist() that this thread's innermost persist_scope releases."""
     out = df.persist()
-    if _SCOPES:
-        _SCOPES[-1].append(out)
+    stack = _scopes()
+    if stack:
+        stack[-1].append(out)
     return out
 
 
 @contextmanager
 def persist_scope():
-    """Release every scoped_persist() made inside the block on exit.
+    """Release every scoped_persist() made inside the block (in this
+    thread) on exit.
 
     blocking=False: eviction is asynchronous, the caller never waits on
     executor cleanup.
     """
     bucket: list[DataFrame] = []
-    _SCOPES.append(bucket)
+    stack = _scopes()
+    stack.append(bucket)
     try:
         yield bucket
     finally:
-        _SCOPES.pop()
+        stack.pop()
         for df in bucket:
             try:
                 df.unpersist(blocking=False)

@@ -75,6 +75,42 @@ def test_exact_pairs_uses_partial_aggregate(spark, images_path):
     assert "Exchange hashpartitioning(content_hash" in plan, plan
 
 
+def test_exact_dedup_docs_partial_agg_no_window(spark):
+    """exact_dedup_docs must be groupBy+join-back (map-side combined),
+    never a sort-window over the hash groups (VERDICT r3 #2)."""
+    from deduplication_and_compression_spark.operators.textops import (
+        exact_dedup_docs,
+    )
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 3}") for i in range(12)], "doc_id long, text string"
+    )
+    plan = _plan(exact_dedup_docs(docs), "simple")
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
+
+
+def test_union_pairs_partial_agg_no_window(spark):
+    """Tier-priority election must be a partial aggregation, not a
+    row_number window sorting the whole edge union (VERDICT r3 #3) —
+    and the min(struct) election must keep the highest-priority tier."""
+    from deduplication_and_compression_spark.operators.pairs import union_pairs
+    mk = lambda rows: spark.createDataFrame(rows, "a string, b string")
+    out = union_pairs(
+        exact=mk([("x1", "x2")]),
+        minhash=mk([("x1", "x2"), ("y1", "y2")]),
+        substring=mk([("y2", "y1"), ("z1", "z2")]),
+    )
+    plan = _plan(out, "simple")
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
+    got = {(r["a"], r["b"]): r["tier"] for r in out.collect()}
+    assert got == {
+        ("x1", "x2"): "exact",     # exact beats minhash
+        ("y1", "y2"): "minhash",   # minhash beats substring (b<a normalized)
+        ("z1", "z2"): "substring",
+    }
+
+
 def test_whole_stage_codegen_covers_banding(spark, images_path):
     """Band-key derivation is pure JVM: it must sit inside a
     WholeStageCodegen region, with no Python evaluation node."""

@@ -38,6 +38,14 @@ from ..config import DedupConfig, DEFAULT_CONFIG
 from ..functions import hashing as H
 from ..persistence import scoped_persist
 
+# Test instrumentation: when set to a SparkContext accumulator BEFORE a
+# plan is built, every signature-UDF execution adds its batch row
+# count.  Lets tests prove cache-reuse properties (e.g. the streaming
+# screen's static side computes reference signatures exactly once per
+# session, not once per micro-batch).  None in production — the check
+# is a no-op captured at UDF definition time.
+SIG_ROWS_ACCUMULATOR = None
+
 
 def minhash_signatures(
     df: DataFrame,
@@ -57,33 +65,47 @@ def minhash_signatures(
     (functions/hashing.py:band_hashes).  Public wrapping-u64
     arithmetic, so the DuckDB driver oracle replicates it exactly
     (the earlier Spark-internal ``xxhash64(array<long>)`` band key was
-    the one thing that kept minhash_pairs_docs rows-only in r2)."""
+    the one thing that kept minhash_pairs_docs rows-only in r2).
+
+    Physical shape: ONE mapInPandas node, not a struct-returning
+    pandas_udf.  With the struct UDF, a downstream filter on
+    ``sig[0]`` (the sentinel check every consumer does) was split by
+    ExtractPythonUDFs into its OWN ArrowEvalPython — the signature
+    kernel ran 2-3× per row in any non-checkpointed consumer (found
+    instrumenting the r4 streaming screen).  A mapInPandas node is a
+    physical operator, not an expression: filters sit above it and can
+    never re-instantiate the kernel, so it executes exactly once per
+    row regardless of consumer shape."""
     k = cfg.shingle_k
     seeds = H.make_seeds(cfg.num_perm, cfg.minhash_seed)
     n_bands, n_rows = cfg.lsh_bands, cfg.lsh_rows
+    acc = SIG_ROWS_ACCUMULATOR
 
-    out_type = T.StructType(
-        [
+    src = df.select(
+        F.col(id_col).alias("id"), *keep_cols, F.col(text_col).alias("_mh_txt")
+    )
+    out_schema = T.StructType(
+        [f for f in src.schema.fields if f.name != "_mh_txt"]
+        + [
             T.StructField("sig", T.ArrayType(T.LongType())),
             T.StructField("bands", T.ArrayType(T.LongType())),
         ]
     )
 
-    @F.pandas_udf(out_type)
-    def _sig(texts: pd.Series) -> pd.DataFrame:
-        mat = H.minhash_signatures_batch(texts.fillna("").tolist(), k, seeds)
-        bh = H.band_hashes(mat, n_bands, n_rows)
-        return pd.DataFrame(
-            {"sig": list(H.u64_to_i64(mat)), "bands": list(H.u64_to_i64(bh))}
-        )
+    def _gen(batches):
+        for pdf in batches:
+            if acc is not None:
+                acc.add(len(pdf))
+            mat = H.minhash_signatures_batch(
+                pdf["_mh_txt"].fillna("").tolist(), k, seeds
+            )
+            bh = H.band_hashes(mat, n_bands, n_rows)
+            out = pdf.drop(columns=["_mh_txt"])
+            out["sig"] = list(H.u64_to_i64(mat))
+            out["bands"] = list(H.u64_to_i64(bh))
+            yield out
 
-    st = df.select(
-        F.col(id_col).alias("id"), *keep_cols, _sig(F.col(text_col)).alias("_st")
-    )
-    return st.select(
-        "id", *keep_cols,
-        F.col("_st.sig").alias("sig"), F.col("_st.bands").alias("bands"),
-    )
+    return src.mapInPandas(_gen, out_schema)
 
 
 def band_keys(sig_df: DataFrame, cfg: DedupConfig = DEFAULT_CONFIG) -> DataFrame:

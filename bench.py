@@ -32,7 +32,9 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 from deduplication_and_compression_spark.config import DEFAULT_CONFIG as CFG
-from deduplication_and_compression_spark.fixtures.generator import write_fixture
+from deduplication_and_compression_spark.fixtures.generator import (
+    write_fixture, write_zipf_docs,
+)
 from deduplication_and_compression_spark.session import build_session
 
 
@@ -128,6 +130,35 @@ def main() -> None:
             "srp_topk_embeddings",
         ):
             timed(name, lambda name=name: qs[name](spark, sf_dir).count())
+
+        # --- PPJoin in its WINNING regime (VERDICT r3 Next #2): the
+        # driver docs fixture is a tiny-vocab corpus where the prefix
+        # filter prunes nothing (bigram_jaccard_ppjoin above measures
+        # that documented worst case); Zipfian token frequencies are
+        # the regime the plan exists for, so both exact plans are
+        # tracked on a Zipf fixture too — a regression in the prefix
+        # filter's pruning now shows up as zipf_ppjoin ~ zipf_allpairs
+        from deduplication_and_compression_spark.operators.textops import (
+            bigram_jaccard_pairs, bigram_jaccard_pairs_allpairs,
+        )
+        # 30k docs at sf0.1: the measured crossover regime where the
+        # prefix filter's pruning beats raw join throughput on this
+        # host (18.6s vs 46.2s at first pinning; at ≤10k docs the JVM
+        # hash join eats the dense-posting volume faster than ppjoin's
+        # extra stages amortize — that small-corpus regime is exactly
+        # what the auto-pick's discriminator exists for)
+        n_zipf = max(1000, int(round(300_000 * sf)))
+        zcache = Path(
+            os.environ.get("SPARK_GRAFT_BENCH_CACHE", str(REPO / ".bench_cache"))
+        ) / f"zipf_{n_zipf}_seed11"
+        z_path, _zt = write_zipf_docs(zcache, n_zipf, seed=11)
+        zdocs = spark.read.parquet(str(z_path)).repartition(max(cpus, 8)).cache()
+        zdocs.count()  # materialize outside the timed region
+        timed("zipf_bigram_ppjoin",
+              lambda: bigram_jaccard_pairs(zdocs).count())
+        timed("zipf_bigram_allpairs",
+              lambda: bigram_jaccard_pairs_allpairs(zdocs).count())
+        zdocs.unpersist()
 
     total = round(sum(timings.values()), 3)
     images_per_sec = round(n_images / timings["image_pipeline"], 1)

@@ -273,6 +273,87 @@ def generate_images(
     return images, tp
 
 
+def generate_zipf_docs(
+    n_docs: int,
+    seed: int = 11,
+    vocab_size: int | None = None,
+    alpha: float = 1.05,
+    doc_words: tuple[int, int] = (30, 60),
+    dup_frac: float = 0.05,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """(docs, truth_pairs): documents whose tokens follow a Zipf
+    distribution — the realistic-text regime the PPJoin prefix filter
+    is designed for (a long tail of rare tokens prunes candidates; the
+    driver fixture's ~931-bigram tiny vocabulary is its documented
+    worst case, VERDICT r3 "what's missing" #3 / Next #2).
+
+    docs: (doc_id:int64, text:string).  truth_pairs: (a, b) planted
+    near-dup pairs (word substitutions keeping word-bigram Jaccard
+    well above 0.5).  vocab_size defaults to 8×n_docs so distinct
+    bigrams ≫ docs, which is both the Zipf-text reality and what flips
+    bigram_jaccard_pairs_auto's discriminator to the prefix plan.
+    """
+    rng = np.random.default_rng(seed)
+    if vocab_size is None:
+        vocab_size = max(2000, 8 * n_docs)
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    p = ranks ** (-alpha)
+    cdf = np.cumsum(p / p.sum())
+    words = np.array([f"w{r:06d}" for r in range(vocab_size)])
+
+    n_dups = max(1, int(n_docs * dup_frac))
+    n_base = n_docs - n_dups
+    lens = rng.integers(doc_words[0], doc_words[1] + 1, size=n_base)
+    # one inverse-CDF draw for every token of every doc: rng.choice(p=)
+    # rebuilds the CDF per call (O(vocab) each), which is quadratic-ish
+    # at bench sizes
+    flat = words[np.searchsorted(cdf, rng.random(int(lens.sum())), side="right")]
+    texts: list[str] = []
+    pos = 0
+    for n in lens:
+        texts.append(" ".join(flat[pos : pos + int(n)]))
+        pos += int(n)
+
+    truth: list[tuple[int, int]] = []
+    for _ in range(n_dups):
+        src = int(rng.integers(0, n_base))
+        toks = texts[src].split()
+        # substitute ~7% of words: each edit severs ≤2 bigrams per side,
+        # so J ≥ (n-1-2k)/(n-1+2k) ≈ 0.76 at n=45, k=3 — safely above 0.5
+        k = max(1, len(toks) // 15)
+        for pos in rng.choice(len(toks), size=k, replace=False):
+            toks[int(pos)] = words[int(rng.integers(0, vocab_size))]
+        truth.append((src, len(texts)))
+        texts.append(" ".join(toks))
+
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    tp = pd.DataFrame(truth, columns=["a", "b"]).astype("int64")
+    return docs, tp
+
+
+# independent of GEN_VERSION: bumping one fixture family must not
+# invalidate the other's (expensive) cached parquet
+ZIPF_GEN_VERSION = 2
+
+
+def write_zipf_docs(
+    out_dir: str | Path, n_docs: int, seed: int = 11
+) -> tuple[Path, Path]:
+    """Write zipf_docs.parquet + zipf_truth.parquet; idempotent."""
+    out = Path(str(out_dir) + f"_zg{ZIPF_GEN_VERSION}")
+    out.mkdir(parents=True, exist_ok=True)
+    d_path = out / "zipf_docs.parquet"
+    t_path = out / "zipf_truth.parquet"
+    if d_path.exists() and t_path.exists():
+        return d_path, t_path
+    docs, truth = generate_zipf_docs(n_docs, seed=seed)
+    docs.to_parquet(d_path, index=False)
+    truth.to_parquet(t_path, index=False)
+    return d_path, t_path
+
+
 # bump when generate_images' OUTPUT changes for the same (n, seed, cfg):
 # cached fixtures (bench .bench_cache) are keyed on this too
 GEN_VERSION = 2

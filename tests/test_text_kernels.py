@@ -117,3 +117,50 @@ def test_winnowing_guarantee(base, start, pre, post):
     fa = set(winnow_fingerprints(a, L).tolist())
     fb = set(winnow_fingerprints(b, L).tolist())
     assert fa & fb, "winnowing missed a planted shared L-substring"
+
+
+# ---------------------------------------------------------------- Zipf regime
+
+def test_zipf_plans_agree_and_find_planted_pairs(spark):
+    """On a Zipfian-vocabulary corpus (realistic token frequencies)
+    both exact Jaccard-join plans must produce identical output and
+    every planted near-dup pair must be found (VERDICT r3 Next #2)."""
+    from deduplication_and_compression_spark.fixtures.generator import (
+        generate_zipf_docs,
+    )
+    from deduplication_and_compression_spark.operators.textops import (
+        bigram_jaccard_pairs,
+        bigram_jaccard_pairs_allpairs,
+    )
+
+    docs_pdf, truth = generate_zipf_docs(250, seed=13)
+    docs = spark.createDataFrame(docs_pdf)
+    pp = {(r.a, r.b, r.jaccard_bp)
+          for r in bigram_jaccard_pairs(docs).collect()}
+    ap = {(r.a, r.b, r.jaccard_bp)
+          for r in bigram_jaccard_pairs_allpairs(docs).collect()}
+    assert pp == ap and len(pp) > 0
+    found = {(a, b) for a, b, _ in pp}
+    planted = {(int(r.a), int(r.b)) for r in truth.itertuples()}
+    assert planted <= found, planted - found
+
+
+def test_jaccard_plan_pick_per_regime():
+    """The cost-based pick across its three measured regimes (numbers
+    from the r4 bench host pinning, see ALLPAIRS_WORK_FLOOR):
+    tiny-vocab → allpairs; Zipf-but-small → allpairs (work floor);
+    Zipf at scale → ppjoin."""
+    from deduplication_and_compression_spark.operators.textops import (
+        choose_jaccard_plan,
+    )
+    # bench docs regime: ~931 distinct bigrams over 5000 docs → dense
+    # posting lists, no rare tokens for the prefix filter to exploit
+    assert choose_jaccard_plan(931, 5000, 2_000_000_000) == "allpairs"
+    # 10k-doc Zipf fixture: rare tail exists but est. 31M join rows —
+    # the naive join finishes before ppjoin's extra stages amortize
+    assert choose_jaccard_plan(80_000, 10_000, 31_000_000) == "allpairs"
+    # 30k-doc Zipf fixture: 280M est. join rows → pruning pays
+    assert choose_jaccard_plan(240_000, 30_000, 280_000_000) == "ppjoin"
+    # unknown volume: fall back to the vocab-vs-corpus discriminator
+    assert choose_jaccard_plan(240_000, 30_000) == "ppjoin"
+    assert choose_jaccard_plan(931, 5000) == "allpairs"

@@ -160,24 +160,36 @@ def main() -> None:
               lambda: bigram_jaccard_pairs_allpairs(zdocs).count())
         zdocs.unpersist()
 
+        # srp_topk re-pin (VERDICT r3 Next #7): its r3 sweep number
+        # (22.6s) vs README's light-load spot run (11.8s) straddled
+        # this host's documented 2-4x shuffle variance, so the suite
+        # records a best-of-3 (the timed run above + two repeats, NOT
+        # added to the suite total) so drift and regression separate
+        srp_walls = [timings["srp_topk_embeddings"]]
+        for _ in range(2):
+            t0 = time.perf_counter()
+            with persist_scope():
+                qs["srp_topk_embeddings"](spark, sf_dir).count()
+            srp_walls.append(round(time.perf_counter() - t0, 3))
+
     total = round(sum(timings.values()), 3)
     images_per_sec = round(n_images / timings["image_pipeline"], 1)
-    print(
-        json.dumps(
-            {
-                "metric": "dedup_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_images": n_images,
-                "images_per_sec": images_per_sec,
-                "duplicates_found": n_dups,
-                "dup_pair_recall": recall,
-                "cpus": cpus,
-            }
-        )
-    )
+    payload = {
+        "metric": "dedup_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_images": n_images,
+        "images_per_sec": images_per_sec,
+        "duplicates_found": n_dups,
+        "dup_pair_recall": recall,
+        "cpus": cpus,
+    }
+    if not skip_docs:
+        payload["srp_topk_walls"] = srp_walls
+        payload["srp_topk_best3"] = min(srp_walls)
+    print(json.dumps(payload))
     spark.stop()
 
 

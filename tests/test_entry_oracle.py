@@ -187,3 +187,27 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert {"doc_id", "cluster_id", "is_duplicate", "representative_id"} <= set(df.columns)
+
+
+def test_srp_probe_radius_2_matches_oracle(spark, ddb):
+    """ADVICE r3 (medium): through r3, _srp_probe_codes only expanded
+    single-bit flips, so probe_radius >= 2 silently behaved as radius
+    1 while the DuckDB oracle implements bit_count(xor) <= r — a
+    silent-wrong-result API.  The operator now expands all flip
+    combinations up to r; prove bit-for-bit agreement at radius 2
+    (and that radius 2 genuinely finds pairs radius 1 misses)."""
+    import __spark_entry__ as e
+    from deduplication_and_compression_spark.operators.similarity import (
+        srp_cosine_pairs,
+    )
+
+    kw = dict(threshold=0.3, n_bits=e._SRP_BITS, dim=e._EMB_DIM,
+              n_tables=e._SRP_TABLES)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got2 = _canon(srp_cosine_pairs(emb, probe_radius=2, **kw).toPandas())
+    want2 = _canon(ddb.sql(e._srp_pairs_oracle_sql(probe_radius=2)).df())
+    pd.testing.assert_frame_equal(
+        got2.astype(str), want2.astype(str), check_dtype=False
+    )
+    got1 = _canon(srp_cosine_pairs(emb, probe_radius=1, **kw).toPandas())
+    assert len(got2) > len(got1), "radius 2 must widen the candidate predicate"

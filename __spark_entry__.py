@@ -188,6 +188,30 @@ def _q_winnow_pairs_docs(spark, sf):
     ).select("a", "b")
 
 
+def _q_screen_near_dups(spark, sf):
+    """Batch rehearsal of the STREAMING near-dup screen
+    (streaming/ingest.py:streaming_near_dup_screen): the documents
+    table screened against itself as the static reference.  Runs the
+    exact plan every micro-batch runs (signature → band explode →
+    stream-static band join → estimate prefilter → Arrow-batched
+    exact-Jaccard verify), so the driver's oracle now gates the
+    screen's dataflow, not just the batch tiers.  Per-band duplicate
+    edges collapsed as run_screen_once does; jaccard floored to bp
+    for engine-stable value hashing."""
+    from deduplication_and_compression_spark.streaming.ingest import (
+        streaming_near_dup_screen,
+    )
+
+    docs = _docs(spark, sf)
+    edges = streaming_near_dup_screen(
+        docs, docs, cfg=CFG, id_col="doc_id", text_col="text"
+    )
+    return edges.dropDuplicates(["id", "ref_id"]).select(
+        "id", "ref_id",
+        F.floor(F.col("jaccard") * 10000.0).cast("long").alias("jaccard_bp"),
+    )
+
+
 _EMB_DIM = 64  # driver embeddings.parquet schema (fixed-width array<float>)
 # FIXTURE-LOCAL SRP config: the fixture's true top-5 neighbors sit at
 # cos ≈ 0.32 (θ ≈ 71°) on uniform-random vectors, so recall needs wide
@@ -241,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brute_topk_embeddings": _q_brute_topk,
         "embedding_cosine_pairs": _q_embedding_pairs,
         "winnow_substring_pairs_docs": _q_winnow_pairs_docs,
+        "screen_near_dups_docs": _q_screen_near_dups,
         "srp_topk_embeddings": _q_srp_topk,
         "srp_cosine_pairs_embeddings": _q_srp_cosine_pairs,
         "simhash_docs": _q_simhash_docs,  # oracled via HUGEINT-mod-2^64 SQL
@@ -553,6 +578,95 @@ def _winnow_oracle_sql(table: str = "documents", L: int = 32) -> str:
 _FNV_OFFSET_I = 1469598103934665603  # band-fold init (hashing.band_hashes)
 
 
+def _sig_band_ctes(cfg=CFG, table: str = "documents") -> str:
+    """Shared HUGEINT CTE prefix of the LSH-tier oracles: k-shingle
+    polynomial fold → splitmix64 → per-lane minhash → signatures
+    (sentinel-filtered ``sigok``) → public band keys (``bk``: id,
+    band_idx, bh, sig); also leaves ``pos`` defined for the exact
+    k-gram Jaccard verify.  Used by _minhash_oracle_sql (full
+    pair-gen regimes on top) and _screen_oracle_sql (raw directed
+    band join on top — the stream-static screen's shape)."""
+    k = cfg.shingle_k
+    import deduplication_and_compression_spark.functions.hashing as _H
+
+    seeds = _H.make_seeds(cfg.num_perm, cfg.minhash_seed)
+    seed_rows = ", ".join(f"({i}, {int(s)}::HUGEINT)" for i, s in enumerate(seeds))
+    pows = [pow(_POLY_B_I, j, 1 << 64) for j in range(k)]
+    poly_terms = " + ".join(
+        f"ord(substr(text, CAST(i + {j} AS INT), 1))::HUGEINT * {pows[k - 1 - j]}::HUGEINT"
+        for j in range(k)
+    )
+    r, nb = cfg.lsh_rows, cfg.lsh_bands
+    band_fold = (
+        f"list_reduce(list_prepend({_FNV_OFFSET_I}::HUGEINT, "
+        f"sig[band_idx*{r}+1 : band_idx*{r}+{r}]), "
+        f"(h, x) -> ({_sql_xor64('h', 'x')} * {_POLY_B_I}::HUGEINT) % {_M64})"
+    )
+    return f"""
+WITH seeds(lane, seed) AS (VALUES {seed_rows}),
+docs AS (SELECT doc_id, text FROM {table} WHERE strlen(text) >= {k}),
+pos AS (SELECT doc_id, text, unnest(generate_series(1, strlen(text) - {k - 1})) AS i FROM docs),
+poly AS (SELECT DISTINCT doc_id, ({poly_terms}) % {_M64} AS z FROM pos),
+upoly AS (SELECT DISTINCT z AS z0, z FROM poly),
+{_sm_chain("u", "upoly", ("z0",))},
+ush AS (SELECT z0 AS pz, z AS sh FROM u6),
+lz AS (SELECT sh AS sh0, lane, {_sql_xor64("sh", "seed")} AS z FROM ush CROSS JOIN seeds),
+{_sm_chain("l", "lz", ("sh0", "lane"))},
+lmix AS (SELECT sh0, lane, z AS lv FROM l6),
+sigv AS (
+  SELECT p.doc_id, l.lane, min(l.lv) AS v
+  FROM poly p JOIN ush u ON u.pz = p.z JOIN lmix l ON l.sh0 = u.sh
+  GROUP BY 1, 2),
+sig AS (SELECT doc_id, list(v ORDER BY lane) AS sig FROM sigv GROUP BY 1),
+sigok AS (SELECT * FROM sig WHERE sig[1] <> {(1 << 64) - 1}::HUGEINT),
+bandf AS (SELECT doc_id, unnest(range({nb})) AS band_idx FROM sigok),
+bandz AS (
+  SELECT f.doc_id, f.band_idx, {band_fold} AS z
+  FROM bandf f JOIN sigok s USING (doc_id)),
+{_sm_chain("b", "bandz", ("doc_id", "band_idx"))},
+bk AS (
+  SELECT b6.doc_id AS id, b6.band_idx, b6.z AS bh, s.sig
+  FROM b6 JOIN sigok s ON s.doc_id = b6.doc_id)"""
+
+
+def _screen_oracle_sql(cfg=CFG, table: str = "documents") -> str:
+    """DuckDB twin of the near-dup screen's batch shape
+    (streaming/ingest.py:streaming_near_dup_screen applied to the
+    documents table against itself): DIRECTED (id, ref_id) edges for
+    every ordered pair sharing ≥1 LSH band bucket, passing the
+    lane-agreement estimate prefilter, with true k-shingle Jaccard ≥
+    threshold; jaccard floored to basis points.  No value collapse or
+    skew regimes — the screen is a raw stream-static band join."""
+    k = cfg.shingle_k
+    t = cfg.jaccard_threshold
+    slack = 3.0 * (t * (1.0 - t) / cfg.num_perm) ** 0.5
+    return _sig_band_ctes(cfg, table) + f""",
+cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM bk x JOIN bk y ON x.band_idx = y.band_idx AND x.bh = y.bh AND x.id <> y.id),
+est AS (
+  SELECT c.a, c.b
+  FROM cand c JOIN sigok sa ON sa.doc_id = c.a JOIN sigok sb ON sb.doc_id = c.b
+  WHERE CAST(list_sum(list_transform(range(1, {cfg.num_perm + 1}),
+          i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+        / {float(cfg.num_perm)!r} >= {t - slack!r}),
+gk AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {k}) AS g FROM pos),
+nk AS (SELECT doc_id, count(*) AS n FROM gk GROUP BY 1),
+inter AS (
+  SELECT e.a, e.b, count(*) AS i
+  FROM est e JOIN gk x ON x.doc_id = e.a JOIN gk y ON y.doc_id = e.b AND y.g = x.g
+  GROUP BY 1, 2)
+SELECT e.a AS id, e.b AS ref_id,
+       CAST(floor(CAST(t.i AS DOUBLE) / CAST(na.n + nb.n - t.i AS DOUBLE)
+                  * 10000.0) AS BIGINT) AS jaccard_bp
+FROM est e
+JOIN inter t ON t.a = e.a AND t.b = e.b
+JOIN nk na ON na.doc_id = e.a
+JOIN nk nb ON nb.doc_id = e.b
+WHERE CAST(t.i AS DOUBLE) / CAST(na.n + nb.n - t.i AS DOUBLE) >= {float(t)!r}
+"""
+
+
 def _minhash_oracle_sql(cfg=CFG, table: str = "documents") -> str:
     """DuckDB twin of the FULL MinHash/LSH tier (minhash_pairs):
 
@@ -589,49 +703,10 @@ def _minhash_oracle_sql(cfg=CFG, table: str = "documents") -> str:
     independently checkable by an external engine.
     """
     k = cfg.shingle_k
-    import deduplication_and_compression_spark.functions.hashing as _H
-
-    seeds = _H.make_seeds(cfg.num_perm, cfg.minhash_seed)
-    seed_rows = ", ".join(f"({i}, {int(s)}::HUGEINT)" for i, s in enumerate(seeds))
-    pows = [pow(_POLY_B_I, j, 1 << 64) for j in range(k)]
-    poly_terms = " + ".join(
-        f"ord(substr(text, CAST(i + {j} AS INT), 1))::HUGEINT * {pows[k - 1 - j]}::HUGEINT"
-        for j in range(k)
-    )
     t = cfg.jaccard_threshold
     slack = 3.0 * (t * (1.0 - t) / cfg.num_perm) ** 0.5
-    r, nb = cfg.lsh_rows, cfg.lsh_bands
     hot = cfg.hot_bucket_threshold * 16  # collapse active → 16x floor
-    band_fold = (
-        f"list_reduce(list_prepend({_FNV_OFFSET_I}::HUGEINT, "
-        f"sig[band_idx*{r}+1 : band_idx*{r}+{r}]), "
-        f"(h, x) -> ({_sql_xor64('h', 'x')} * {_POLY_B_I}::HUGEINT) % {_M64})"
-    )
-    return f"""
-WITH seeds(lane, seed) AS (VALUES {seed_rows}),
-docs AS (SELECT doc_id, text FROM {table} WHERE strlen(text) >= {k}),
-pos AS (SELECT doc_id, text, unnest(generate_series(1, strlen(text) - {k - 1})) AS i FROM docs),
-poly AS (SELECT DISTINCT doc_id, ({poly_terms}) % {_M64} AS z FROM pos),
-upoly AS (SELECT DISTINCT z AS z0, z FROM poly),
-{_sm_chain("u", "upoly", ("z0",))},
-ush AS (SELECT z0 AS pz, z AS sh FROM u6),
-lz AS (SELECT sh AS sh0, lane, {_sql_xor64("sh", "seed")} AS z FROM ush CROSS JOIN seeds),
-{_sm_chain("l", "lz", ("sh0", "lane"))},
-lmix AS (SELECT sh0, lane, z AS lv FROM l6),
-sigv AS (
-  SELECT p.doc_id, l.lane, min(l.lv) AS v
-  FROM poly p JOIN ush u ON u.pz = p.z JOIN lmix l ON l.sh0 = u.sh
-  GROUP BY 1, 2),
-sig AS (SELECT doc_id, list(v ORDER BY lane) AS sig FROM sigv GROUP BY 1),
-sigok AS (SELECT * FROM sig WHERE sig[1] <> {(1 << 64) - 1}::HUGEINT),
-bandf AS (SELECT doc_id, unnest(range({nb})) AS band_idx FROM sigok),
-bandz AS (
-  SELECT f.doc_id, f.band_idx, {band_fold} AS z
-  FROM bandf f JOIN sigok s USING (doc_id)),
-{_sm_chain("b", "bandz", ("doc_id", "band_idx"))},
-bk AS (
-  SELECT b6.doc_id AS id, b6.band_idx, b6.z AS bh, s.sig
-  FROM b6 JOIN sigok s ON s.doc_id = b6.doc_id),
+    return _sig_band_ctes(cfg, table) + f""",
 grp AS (
   SELECT band_idx, bh, sig, min(id) AS rep, count(*) AS gsz
   FROM bk GROUP BY 1, 2, 3),
@@ -784,6 +859,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         """,
         "winnow_substring_pairs_docs": _winnow_oracle_sql(),
+        "screen_near_dups_docs": _screen_oracle_sql(),
         "srp_topk_embeddings": _srp_oracle_sql(),
         "srp_cosine_pairs_embeddings": _srp_pairs_oracle_sql(),
         "simhash_docs": _simhash_oracle_sql(),

@@ -301,13 +301,18 @@ def generate_zipf_docs(
     cdf = np.cumsum(p / p.sum())
     words = np.array([f"w{r:06d}" for r in range(vocab_size)])
 
-    n_dups = max(1, int(n_docs * dup_frac))
+    n_dups = min(max(1, int(n_docs * dup_frac)), n_docs - 1)  # keep ≥1 base doc
     n_base = n_docs - n_dups
     lens = rng.integers(doc_words[0], doc_words[1] + 1, size=n_base)
     # one inverse-CDF draw for every token of every doc: rng.choice(p=)
     # rebuilds the CDF per call (O(vocab) each), which is quadratic-ish
-    # at bench sizes
-    flat = words[np.searchsorted(cdf, rng.random(int(lens.sum())), side="right")]
+    # at bench sizes.  Clamp: cumsum rounding can leave cdf[-1] a few
+    # ulps below 1, and a draw in that gap would index past the vocab.
+    idx = np.minimum(
+        np.searchsorted(cdf, rng.random(int(lens.sum())), side="right"),
+        vocab_size - 1,
+    )
+    flat = words[idx]
     texts: list[str] = []
     pos = 0
     for n in lens:

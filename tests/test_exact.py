@@ -97,3 +97,28 @@ def test_hot_cluster_present(fixture_pdf):
     from collections import Counter
     deg = Counter(exact["a"]).most_common(1)
     assert deg and deg[0][1] >= 40  # hot rep paired with ≥40 members
+
+
+def test_exact_dedup_docs_null_text_rows_kept(spark):
+    """md5(NULL) is NULL; the groupBy+join-back shape must keep the
+    null-hash rows grouped together (null-safe join), matching the SQL
+    window oracle's partition semantics (r4 code-review finding)."""
+    from deduplication_and_compression_spark.operators.textops import (
+        exact_dedup_docs,
+    )
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["rep_id"], r["is_duplicate"])
+           for r in exact_dedup_docs(df).collect()}
+    assert out == {1: (1, False), 2: (1, True), 3: (3, False)}
+
+
+def test_zipf_generator_edge_sizes():
+    from deduplication_and_compression_spark.fixtures.generator import (
+        generate_zipf_docs,
+    )
+    docs, truth = generate_zipf_docs(1, seed=3)
+    assert len(docs) == 1 and len(truth) == 0
+    docs, truth = generate_zipf_docs(2, seed=3)
+    assert len(docs) == 2 and len(truth) == 1

@@ -100,13 +100,17 @@ def test_no_storage_growth_across_runs(spark, images_df, cfg, tmp_path_factory):
         ContextCleaner lags arbitrarily under host steal — this test
         flaked once in a loaded full-suite run while passing alone."""
         n = jsc.getPersistentRDDs().size()
+        stable = 0
         for _ in range(60):
             if bound is not None and n <= bound:
                 break
+            if bound is None and stable >= 2:
+                break  # baseline call: stop once the count stops falling
             gc.collect()
             spark.sparkContext._jvm.System.gc()
             _time.sleep(0.75)
-            n = jsc.getPersistentRDDs().size()
+            prev, n = n, jsc.getPersistentRDDs().size()
+            stable = stable + 1 if n >= prev else 0
         return n
 
     run_pipeline(

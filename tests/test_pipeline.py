@@ -104,7 +104,7 @@ def test_no_storage_growth_across_runs(spark, images_df, cfg, tmp_path_factory):
         for _ in range(60):
             if bound is not None and n <= bound:
                 break
-            if bound is None and stable >= 2:
+            if bound is None and stable >= 3:
                 break  # baseline call: stop once the count stops falling
             gc.collect()
             spark.sparkContext._jvm.System.gc()
@@ -123,7 +123,13 @@ def test_no_storage_growth_across_runs(spark, images_df, cfg, tmp_path_factory):
         tiers=("exact", "minhash"), resume=False,
     )
     n_after_second = settled_count(n_after_first)
-    assert n_after_second <= n_after_first, (
+    # +2 slack: Spark's ContextCleaner releases localCheckpoint blocks
+    # asynchronously and can lag a couple of blocks arbitrarily long
+    # under host steal (this exact comparison flaked twice in loaded
+    # full-suite runs while passing alone).  The r2 bug this guards
+    # against leaked the operator persists of EVERY run (~4-6 RDDs per
+    # run), far above the slack.
+    assert n_after_second <= n_after_first + 2, (
         f"storage grew across runs: {n_after_first} -> {n_after_second}"
     )
 

@@ -53,7 +53,10 @@ def image_features(df: DataFrame) -> DataFrame:
                     decoded[i] = decode_image(blob)
                 except Exception:
                     pass  # stays None → decode_ok False
-            ok = np.array([px is not None for px in decoded])
+            # dtype pinned: np.array([]) defaults to float64, which
+            # breaks the Arrow conversion against the boolean schema
+            # field on a zero-row batch (ADVICE r4)
+            ok = np.array([px is not None for px in decoded], dtype=bool)
             means = np.full((n, 3), np.nan)
             std_gray = np.full(n, np.nan)
             ph = np.zeros(n, dtype=np.int64)
@@ -102,22 +105,42 @@ _RESIZE_SCHEMA = T.StructType(
 
 def thumbnails(df: DataFrame, max_dim: int = 16) -> DataFrame:
     """Nearest-neighbor downsample to ≤ max_dim, re-encoded raw —
-    the resize/frame-sample plumbing pattern for multimodal payloads."""
+    the resize/frame-sample plumbing pattern for multimodal payloads.
+
+    Same vectorization discipline as image_features (VERDICT r4 Next
+    #7): the stride and output dims are a function of the input SHAPE,
+    so same-shape images are stacked (bounded 64-image stacks — the
+    r4 bounded-temporary rule) and strided in one numpy slice per
+    stack; only decode and the per-blob raw encode stay per-item."""
     from ..functions.images import encode_image
+
+    _CHUNK = 64
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = {"image_id": [], "thumb": [], "tw": [], "th": []}
-            for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
-                px = decode_image(blob)
-                h, w, _ = px.shape
+            n = len(pdf)
+            decoded = [decode_image(blob) for blob in pdf["bytes"]]
+            thumb: list = [None] * n
+            tw = np.zeros(n, dtype=np.int32)
+            th = np.zeros(n, dtype=np.int32)
+            groups: dict[tuple, list[int]] = {}
+            for i, px in enumerate(decoded):
+                groups.setdefault(px.shape, []).append(i)
+            for shape, idxs in groups.items():
+                h, w, _ = shape
                 s = max(1, max(h, w) // max_dim)
-                small = px[::s, ::s]
-                rows["image_id"].append(iid)
-                rows["thumb"].append(encode_image(np.ascontiguousarray(small), "raw"))
-                rows["th"].append(small.shape[0])
-                rows["tw"].append(small.shape[1])
-            yield pd.DataFrame(rows)
+                for st in range(0, len(idxs), _CHUNK):
+                    part = idxs[st : st + _CHUNK]
+                    stack = np.ascontiguousarray(
+                        np.stack([decoded[i] for i in part])[:, ::s, ::s]
+                    )
+                    th[part], tw[part] = stack.shape[1], stack.shape[2]
+                    for j, i in enumerate(part):
+                        thumb[i] = encode_image(stack[j], "raw")
+            yield pd.DataFrame(
+                {"image_id": pdf["image_id"].to_numpy(), "thumb": thumb,
+                 "tw": tw, "th": th}
+            )
 
     return df.select("image_id", "bytes").mapInPandas(_batches, _RESIZE_SCHEMA)
 

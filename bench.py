@@ -95,12 +95,17 @@ def main() -> None:
             "image_pipeline",
             lambda: run_pipeline(spark, images, workdir, CFG, resume=False),
         )
-        # best-of-2 for the headline: single-shot walls on this host
-        # drift 2-4x with co-tenant steal invisible to the guest
-        # (BENCH/BASELINE.md round-4 notes); the second run also
-        # removes the one-time Python-worker spawn / first-touch cost
-        # a 1000-executor deployment amortizes across hours.  Both
-        # walls are reported; the suite total uses the best.
+        # the pipeline runs twice: single-shot walls on this host drift
+        # 2-4x with co-tenant steal invisible to the guest
+        # (BENCH/BASELINE.md round-4 notes), and the second run removes
+        # the one-time Python-worker spawn / first-touch cost a
+        # 1000-executor deployment amortizes across hours.  Per ADVICE
+        # r4 the SUITE TOTAL and queries dict stay single-shot (first
+        # wall) so `value` keeps one methodology across every query and
+        # round; both walls + the best are reported in dedicated fields
+        # (image_pipeline_walls / image_pipeline_best), and the
+        # images_per_sec north-star uses the best (steal-resistant) wall
+        # with the single-shot twin alongside.
         w1 = timings["image_pipeline"]
         workdir2 = tempfile.mkdtemp(prefix="dedup_bench2_")
         try:
@@ -111,7 +116,7 @@ def main() -> None:
         finally:
             shutil.rmtree(workdir2, ignore_errors=True)
         pipeline_walls = [w1, timings["image_pipeline"]]
-        timings["image_pipeline"] = min(pipeline_walls)
+        timings["image_pipeline"] = w1
         n_dups = res.assignments.where("is_duplicate").count()
         # north-star gate at bench scale: planted-pair recall = fraction
         # of truth pairs whose endpoints share a cluster label
@@ -175,6 +180,26 @@ def main() -> None:
               lambda: bigram_jaccard_pairs(zdocs).count())
         timed("zipf_bigram_allpairs",
               lambda: bigram_jaccard_pairs_allpairs(zdocs).count())
+        # record the auto-pick per regime: the driver-fixture pick was
+        # made inside the bigram_jaccard_pairs timed query (auto path);
+        # the Zipf corpus gets the same cost stats + discriminator call
+        # (untimed — observability, not a benchmarked query)
+        from deduplication_and_compression_spark.operators import textops as TX
+        from pyspark.sql import functions as _F
+        plan_picks = {"driver_docs": (TX.LAST_PLAN_PICK or {}).get("plan")}
+        with persist_scope():
+            zbg = TX.word_bigrams(zdocs)
+            zf = (
+                zbg.groupBy("bigram").agg(_F.count(_F.lit(1)).alias("_gf"))
+                .agg(_F.count(_F.lit(1)).alias("v"),
+                     _F.sum(_F.col("_gf").cast("double") * _F.col("_gf")
+                            ).alias("sumsq"))
+                .collect()[0]
+            )
+            zd = zbg.agg(_F.approx_count_distinct("doc_id").alias("d")
+                         ).collect()[0]["d"]
+        plan_picks["zipf_docs"] = TX.choose_jaccard_plan(
+            zf["v"], zd, zf["sumsq"])
         zdocs.unpersist()
 
         # srp_topk re-pin (VERDICT r3 Next #7): its r3 sweep number
@@ -190,7 +215,6 @@ def main() -> None:
             srp_walls.append(round(time.perf_counter() - t0, 3))
 
     total = round(sum(timings.values()), 3)
-    images_per_sec = round(n_images / timings["image_pipeline"], 1)
     payload = {
         "metric": "dedup_suite_wall",
         "value": total,
@@ -198,15 +222,24 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_images": n_images,
-        "images_per_sec": images_per_sec,
+        # north-star throughput from the best (steal-resistant) wall;
+        # the single-shot twin is alongside for methodology continuity
+        "images_per_sec": round(n_images / min(pipeline_walls), 1),
+        "images_per_sec_single": round(n_images / pipeline_walls[0], 1),
         "duplicates_found": n_dups,
         "dup_pair_recall": recall,
         "cpus": cpus,
     }
     payload["image_pipeline_walls"] = pipeline_walls
+    payload["image_pipeline_best"] = min(pipeline_walls)
     if not skip_docs:
         payload["srp_topk_walls"] = srp_walls
         payload["srp_topk_best3"] = min(srp_walls)
+        # which exact-Jaccard plan the cost-based pick chose per corpus
+        # regime (VERDICT r4 Next #1 done-criterion: the auto must pick
+        # the measured-faster plan on BOTH fixtures — allpairs on the
+        # tiny-vocab driver docs, ppjoin on the Zipf corpus)
+        payload["jaccard_plan_picks"] = plan_picks
     print(json.dumps(payload))
     spark.stop()
 

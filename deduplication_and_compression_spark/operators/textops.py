@@ -156,9 +156,20 @@ def bigram_jaccard_pairs_auto(df: DataFrame, threshold_bp: int = 5000) -> DataFr
         .collect()[0]
     )
     d = bg.agg(F.approx_count_distinct("doc_id").alias("d")).collect()[0]["d"]
-    if choose_jaccard_plan(fstats["v"], d, fstats["sumsq"]) == "ppjoin":
+    pick = choose_jaccard_plan(fstats["v"], d, fstats["sumsq"])
+    global LAST_PLAN_PICK
+    LAST_PLAN_PICK = {"plan": pick, "v": int(fstats["v"]), "d": int(d),
+                      "sumsq": float(fstats["sumsq"])}
+    if pick == "ppjoin":
         return bigram_jaccard_pairs(df, threshold_bp, bg=bg, freq=freq)
     return bigram_jaccard_pairs_allpairs(df, threshold_bp, bg=bg)
+
+
+# Observability: the last cost-based decision made by
+# bigram_jaccard_pairs_auto in this process, with the stats that drove
+# it — bench.py records it so each BENCH_r{N}.json shows which plan the
+# auto-pick chose per corpus regime.  Read-only for callers.
+LAST_PLAN_PICK: dict | None = None
 
 
 # Estimated allpairs join volume (Σ df(g)² over bigrams) below which

@@ -280,6 +280,8 @@ def run_screen_once(
     checkpoint_dir: str,
     cfg: DedupConfig = DEFAULT_CONFIG,
     max_files_per_trigger: int | None = None,
+    dedupe_stream_ids: bool = False,
+    dedupe_watermark: str = "1 hour",
 ) -> None:
     """Drain input_dir, emitting DEDUPED verified near-dup edges
     (id, ref_id, jaccard) against the static reference, then stop.
@@ -296,11 +298,28 @@ def run_screen_once(
     exact (id, ref_id) dedupe before the verify, payload re-attached by
     id after the band match.  Restart with the same checkpoint_dir to
     resume incrementally.
+
+    ``dedupe_stream_ids`` (off by default — the screen is stateless by
+    design, VERDICT r4 Next #6): re-arriving ids re-screen and re-emit
+    their edges, one set per micro-batch they appear in.  Turning it on
+    inserts a watermarked dropDuplicatesWithinWatermark on image_id
+    BEFORE screening — each id is screened at most once per
+    ``dedupe_watermark`` window, giving exactly-once edges for
+    re-deliveries within the window with state bounded by it (keyed on
+    a processing-time ingest timestamp: arrival order IS the dedup
+    semantics here, no event-time column exists in the ingest schema).
     """
     from ..persistence import persist_scope
 
     stream = stream_images(spark, input_dir,
                            max_files_per_trigger=max_files_per_trigger)
+    if dedupe_stream_ids:
+        stream = (
+            stream.withColumn("_ingest_ts", F.current_timestamp())
+            .withWatermark("_ingest_ts", dedupe_watermark)
+            .dropDuplicatesWithinWatermark(["image_id"])
+            .drop("_ingest_ts")
+        )
 
     ref_side = build_screen_reference(reference, cfg)
     ref_side.base.persist()

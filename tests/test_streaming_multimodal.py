@@ -247,6 +247,39 @@ def test_screen_static_side_computed_once_across_batches(spark, cfg, tmp_path):
     }
 
 
+def test_screen_exactly_once_on_redelivery(spark, cfg, tmp_path):
+    """dedupe_stream_ids=True (VERDICT r4 Next #6): a row re-delivered
+    in a later micro-batch must be screened ONCE — its edges appear a
+    single time in the sink.  Off (the default), the stateless screen
+    re-emits per delivery — both behaviors asserted."""
+    import pandas as pd
+
+    ref = spark.createDataFrame(pd.DataFrame({
+        "image_id": ["r0"],
+        "caption": ["a striped cat sits on the warm windowsill watching birds"],
+    }))
+    row = pd.DataFrame({
+        "image_id": ["s0"],
+        "bytes": [b""],
+        "w": np.array([1], dtype=np.int32),
+        "h": np.array([1], dtype=np.int32),
+        "fmt": ["raw"],
+        "caption": ["a striped cat sits on the warm windowsill watching crows"],
+        "phash": [0],
+    })
+    for on, want in ((True, 1), (False, 2)):
+        base = tmp_path / ("on" if on else "off")
+        inp, outp, chk = base / "in", base / "out", base / "chk"
+        inp.mkdir(parents=True)
+        row.to_parquet(inp / "d1.parquet", index=False)
+        row.to_parquet(inp / "d2.parquet", index=False)  # re-delivery
+        run_screen_once(spark, str(inp), ref, str(outp), str(chk), cfg,
+                        max_files_per_trigger=1, dedupe_stream_ids=on)
+        out = spark.read.parquet(str(outp)).toPandas()
+        assert len(out) == want, (on, out)
+        assert set(zip(out["id"], out["ref_id"])) == {("s0", "r0")}
+
+
 def test_screen_batch_band_explode_is_keys_only(spark, cfg):
     """The foreachBatch screen plan must explode (id, band_idx,
     band_hash) ONLY — the caption and 128-lane signature are

@@ -260,6 +260,23 @@ def _q_brute_topk(spark, sf):
     return brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id", "rank")
 
 
+# IVF coarse-quantizer config for the driver fixture: 32 cells over
+# 2500 uniform-random vectors (~78/cell), 6 probes ≈ 19% of the corpus
+# scanned per query.  Seed-derived centroids (ivf_centroids) so the
+# DuckDB oracle embeds them as literals; fit_ivf_centroids is the
+# data-adapted path, recall-gated in tests/test_similarity.py.
+_IVF_CELLS, _IVF_PROBES = 32, 6
+
+
+def _q_ivf_topk(spark, sf):
+    from deduplication_and_compression_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _embs(spark, sf), n_cells=_IVF_CELLS, k=_SRP_K, dim=_EMB_DIM,
+        n_probes=_IVF_PROBES,
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_docs": _q_exact_dedup,
@@ -278,6 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_substring_pairs_docs": _q_winnow_pairs_docs,
         "screen_near_dups_docs": _q_screen_near_dups,
         "srp_topk_embeddings": _q_srp_topk,
+        "ivf_topk_embeddings": _q_ivf_topk,
         "srp_cosine_pairs_embeddings": _q_srp_cosine_pairs,
         "simhash_docs": _q_simhash_docs,  # oracled via HUGEINT-mod-2^64 SQL
         "simhash_hamming_pairs_docs": _q_simhash_pairs_docs,
@@ -540,6 +558,55 @@ def _srp_pairs_oracle_sql(n_bits: int = _SRP_BITS, n_tables: int = _SRP_TABLES,
           FROM cand JOIN e p ON p.vec_id = cand.a JOIN e q ON q.vec_id = cand.b)
         SELECT a, b, CAST(floor(cos * 10000.0) AS BIGINT) AS cos_bp
         FROM s WHERE cos >= {threshold!r}
+    """
+
+
+def _ivf_oracle_sql(n_cells: int = _IVF_CELLS, n_probes: int = _IVF_PROBES,
+                    k: int = _SRP_K, dim: int = _EMB_DIM,
+                    seed: int = 0x1CF_5EED) -> str:
+    """DuckDB twin of ivf_topk with the seed-derived quantizer: the
+    unit-norm centroids embed as double literals (repr round-trips
+    exactly); cell assignment = argmax centroid dot with ties to the
+    LOWER cell index (ORDER BY dot DESC, cell ASC — matching numpy's
+    first-max argmax / stable argsort), probes = top-n_probes cells,
+    then the shared exact-cosine re-rank."""
+    from deduplication_and_compression_spark.operators.similarity import (
+        ivf_centroids,
+    )
+
+    C = ivf_centroids(n_cells, dim, seed)
+    dots = ", ".join(
+        f"list_inner_product(v, [{', '.join(repr(float(x)) for x in C[j])}])"
+        for j in range(n_cells)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        d AS (SELECT vec_id, [{dots}] AS dots FROM e),
+        dt AS (
+          SELECT vec_id, t.i AS cell, dots[t.i + 1] AS dot
+          FROM d, (SELECT unnest(range({n_cells})) AS i) t(i)),
+        rk AS (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dot DESC, cell ASC) AS rn
+          FROM dt),
+        cells AS (SELECT vec_id, cell FROM rk WHERE rn = 1),
+        probes AS (SELECT vec_id, cell FROM rk WHERE rn <= {n_probes}),
+        cand AS (
+          SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id
+          FROM probes x JOIN cells y
+            ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+        s AS (
+          SELECT query_id, neighbor_id,
+                 list_inner_product(q.v, n.v)
+                   / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(n.v, n.v))) AS cos
+          FROM cand JOIN e q ON q.vec_id = query_id JOIN e n ON n.vec_id = neighbor_id),
+        r AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM s)
+        SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}
     """
 
 
@@ -872,6 +939,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_substring_pairs_docs": _winnow_oracle_sql(),
         "screen_near_dups_docs": _screen_oracle_sql(),
         "srp_topk_embeddings": _srp_oracle_sql(),
+        "ivf_topk_embeddings": _ivf_oracle_sql(),
         "srp_cosine_pairs_embeddings": _srp_pairs_oracle_sql(),
         "simhash_docs": _simhash_oracle_sql(),
         "simhash_hamming_pairs_docs": _simhash_pairs_oracle_sql(),

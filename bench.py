@@ -150,6 +150,7 @@ def main() -> None:
             "minhash_pairs_docs",
             "simhash_hamming_pairs_docs",
             "srp_topk_embeddings",
+            "ivf_topk_embeddings",
         ):
             timed(name, lambda name=name: qs[name](spark, sf_dir).count())
 

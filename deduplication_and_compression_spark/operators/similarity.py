@@ -351,6 +351,16 @@ def srp_bucket_topk(
         .select(F.col("x.id").alias("query_id"), F.col("y.id").alias("neighbor_id"))
         .dropDuplicates()
     )
+    return _cosine_rerank_topk(cand, emb, k, id_col, vec_col)
+
+
+def _cosine_rerank_topk(
+    cand: DataFrame, emb: DataFrame, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Shared exact re-rank tail of the ANN tiers (SRP + IVF): attach
+    vectors (hoisted norms) to (query_id, neighbor_id) candidates,
+    score exact cosine, keep per-query top-k (ties broken by
+    neighbor_id — the same total order the DuckDB oracles use)."""
     vecs = emb.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n"))
     scored = (
         cand.join(
@@ -371,3 +381,162 @@ def srp_bucket_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# ------------------------------------------------------------------ IVF-flat
+
+
+def ivf_centroids(n_cells: int, dim: int, seed: int) -> np.ndarray:
+    """(n_cells, dim) seed-derived UNIT-NORM coarse-quantizer
+    centroids — the data-independent quantizer variant, shared by the
+    Spark plan, the DuckDB oracle generator (centroids embed as SQL
+    literals exactly like the SRP planes) and the recall tests.  For a
+    data-adapted quantizer use fit_ivf_centroids and pass the result
+    via ``centroids=``; the Spark plan is identical either way."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_cells, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def fit_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    seed: int = 0x1CF_5EED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 65_536,
+    iters: int = 10,
+) -> np.ndarray:
+    """Spherical mini k-means on a BOUNDED deterministic sample —
+    driver-side BY DESIGN: the sample is ≤ sample_rows vectors
+    (orderBy(id).limit — deterministic across runs and partitionings),
+    so the collect is O(sample_rows · dim) bytes regardless of corpus
+    size, and the per-iteration work is one numpy matmul.  This is the
+    standard IVF recipe (train the coarse quantizer on a sample,
+    assign the full corpus distributed); k-means over the FULL corpus
+    would be a Spark-iterative job that buys little for a coarse
+    quantizer.  Returns unit-norm (n_cells, dim) float64 centroids."""
+    pdf = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id").limit(sample_rows).toPandas()
+    )
+    X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)].copy()
+    if len(C) < n_cells:  # tiny corpus: pad with random unit vectors
+        pad = rng.standard_normal((n_cells - len(C), X.shape[1]))
+        C = np.vstack([C, pad / np.linalg.norm(pad, axis=1, keepdims=True)])
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(n_cells):
+            members = X[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 1e-30:
+                    C[j] = m / nrm
+            else:  # empty cell: reseed deterministically
+                C[j] = X[rng.integers(len(X))]
+    return C
+
+
+def _ivf_cell_table(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    n_probes: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, cell): each vector's ``n_probes`` nearest coarse cells by
+    centroid dot product (unit centroids → same argmax as cosine),
+    one Arrow-batched matmul per batch — the same kernel discipline as
+    the SRP arrow path.  Ties (measure-zero for continuous data) break
+    toward the LOWER cell index on both engines: np.argsort(-D,
+    kind="stable") here, ORDER BY dot DESC, cell ASC in the oracle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = centroids.astype(np.float64).T  # (dim, n_cells)
+    id_field = emb.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("id", id_field),
+        T.StructField("cell", T.IntegerType()),
+    ])
+    src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+
+    def _gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({"id": pdf["id"],
+                                    "cell": np.array([], dtype=np.int32)})
+                continue
+            D = np.stack(pdf["_v"].to_numpy()).astype(np.float64) @ C
+            if n_probes == 1:
+                yield pd.DataFrame({"id": pdf["id"].to_numpy(),
+                                    "cell": D.argmax(axis=1).astype(np.int32)})
+            else:
+                top = np.argsort(-D, axis=1, kind="stable")[:, :n_probes]
+                yield pd.DataFrame({
+                    "id": pdf["id"].to_numpy().repeat(n_probes),
+                    "cell": top.reshape(-1).astype(np.int32),
+                })
+
+    return src.mapInPandas(_gen, out_schema)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_cells: int = 256,
+    k: int = 10,
+    seed: int = 0x1CF_5EED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_probes: int = 8,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k via an IVF-FLAT index (the inverted-file
+    coarse-quantizer design of Jégou et al., TPAMI'11, minus the PQ
+    re-compression) — the second canonical ANN scale path next to
+    SRP-LSH: every vector is assigned to its nearest coarse centroid
+    (one cell each), queries probe their ``n_probes`` nearest cells,
+    and survivors get the exact cosine re-rank.
+
+    Candidate volume: cells hold ~n/n_cells vectors, so expected
+    candidates per query are ≤ n_probes·n/n_cells — choose
+    n_cells ≈ √n (the published IVF heuristic) and probe count sets
+    the recall/cost trade directly: the whole candidate set is
+    O(n·n_probes·√n / √n) = O(n·n_probes) pairs scored.  Versus
+    SRP-LSH: IVF adapts to the data's cluster structure (with fitted
+    centroids) and probes a FIXED number of cells, where LSH probes
+    hamming balls; IVF needs a (sampled) training pass, LSH does not.
+
+    Deterministic in ``seed``: default centroids are seed-derived
+    (ivf_centroids) so the DuckDB oracle replicates the whole operator
+    bit-for-bit, exactly like the SRP tier; pass ``centroids=``
+    (e.g. from fit_ivf_centroids) for a data-adapted quantizer — same
+    plan, better recall per probe on clustered corpora.
+
+    Scale shape: assignment is one Arrow matmul per batch; the
+    candidate join shuffles (cell, id) pairs only; each data vector
+    lives in exactly ONE cell, so a (query, data) pair arises at most
+    once and needs no dedup before the re-rank (unlike LSH's
+    multi-table union).
+    """
+    if centroids is None:
+        if dim is None:
+            raise ValueError("pass dim explicitly (embedding width)")
+        centroids = ivf_centroids(n_cells, dim, seed)
+    n_cells = centroids.shape[0]
+    n_probes = min(n_probes, n_cells)
+    cells = _ivf_cell_table(emb, centroids, 1, id_col, vec_col)
+    probes = _ivf_cell_table(emb, centroids, n_probes, id_col, vec_col)
+    cand = (
+        probes.alias("x")
+        .join(cells.alias("y"), "cell")
+        .where(F.col("x.id") != F.col("y.id"))
+        .select(F.col("x.id").alias("query_id"), F.col("y.id").alias("neighbor_id"))
+    )
+    return _cosine_rerank_topk(cand, emb, k, id_col, vec_col)

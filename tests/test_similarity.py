@@ -169,3 +169,75 @@ def test_srp_results_identical_across_kernels(emb):
         for r in srp_cosine_pairs(emb, code_impl=impl, **kw).collect()
     }
     assert rows("arrow") == rows("fold")
+
+
+# ---------------------------------------------------------------- IVF-flat
+
+def test_ivf_fitted_centroids_recall_on_clustered_fixture(spark):
+    """IVF-flat with a FITTED coarse quantizer must pass the recall bar
+    on clustered data — the workload IVF exists for: cells align with
+    the data's clusters, so a handful of probes covers each query's
+    true neighborhood.  Same fixture + truth as the SRP deep-code gate,
+    so the two ANN scale paths are directly comparable."""
+    import pandas as pd
+    from deduplication_and_compression_spark.operators.similarity import (
+        fit_ivf_centroids, ivf_topk,
+    )
+
+    rng = np.random.default_rng(977)
+    n_clusters, per, dim = 60, 40, 64
+    centers = rng.standard_normal((n_clusters, dim))
+    pts = np.repeat(centers, per, axis=0) + 0.25 * rng.standard_normal(
+        (n_clusters * per, dim)
+    )
+    n = pts.shape[0]
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": [r.astype(np.float32) for r in pts]}
+    )
+    emb = spark.createDataFrame(pdf).cache()
+    V = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    S = V @ V.T
+    np.fill_diagonal(S, -2.0)
+    want = set()
+    for qi in range(n):
+        order = np.lexsort((np.arange(n), -S[qi]))[:K]
+        want.update((qi, int(j)) for j in order)
+    C = fit_ivf_centroids(emb, n_cells=48, sample_rows=2400, iters=8)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, k=K, n_probes=6, centroids=C)
+        .select("query_id", "neighbor_id").collect()
+    }
+    recall = len(got & want) / len(want)
+    # 6 of 48 cells probed = ~12.5% of the corpus scanned per query
+    assert recall >= 0.8, f"fitted-IVF recall@{K} = {recall:.3f}"
+
+
+def test_fit_ivf_centroids_deterministic_and_unit_norm(emb):
+    from deduplication_and_compression_spark.operators.similarity import (
+        fit_ivf_centroids,
+    )
+
+    c1 = fit_ivf_centroids(emb, n_cells=8, sample_rows=500, iters=4)
+    c2 = fit_ivf_centroids(emb, n_cells=8, sample_rows=500, iters=4)
+    assert c1.shape == (8, 64)
+    assert np.array_equal(c1, c2), "fit must be deterministic across runs"
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_ivf_topk_ranks_dense_and_candidates_bounded(emb):
+    """Ranks are 1..k dense per query, and every data vector lives in
+    exactly ONE cell (no cross-table dup inflation — the structural
+    difference from LSH's multi-table union)."""
+    from deduplication_and_compression_spark.operators.similarity import (
+        _ivf_cell_table, ivf_centroids, ivf_topk,
+    )
+
+    out = ivf_topk(emb, n_cells=16, k=3, dim=64, n_probes=4).toPandas()
+    for _, grp in out.groupby("query_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert len(grp) <= 3
+    cells = _ivf_cell_table(
+        emb, ivf_centroids(16, 64, 0x1CF_5EED), 1, "vec_id", "embedding"
+    ).toPandas()
+    assert cells["id"].is_unique

@@ -223,6 +223,28 @@ def _q_screen_near_dups(spark, sf):
     )
 
 
+def _q_screen_batch_near_dups(spark, sf):
+    """The KEYS-ONLY foreachBatch screen plan (streaming/ingest.py:
+    screen_batch_edges — the exact dataflow run_screen_once executes
+    per micro-batch since r5: keys-only band explode, exact (id,
+    ref_id) dedupe BEFORE the verify, caption+signature re-attached by
+    id).  Same semantics as the stateless variant above, so both rows
+    share one oracle — the driver now gates both screen dataflows."""
+    from deduplication_and_compression_spark.streaming.ingest import (
+        build_screen_reference, screen_batch_edges,
+    )
+
+    docs = _docs(spark, sf)
+    ref_side = build_screen_reference(docs, CFG, id_col="doc_id", text_col="text")
+    scoped_persist(ref_side.base)
+    edges = screen_batch_edges(docs, ref_side, CFG, id_col="doc_id",
+                               text_col="text")
+    return edges.select(
+        "id", "ref_id",
+        F.floor(F.col("jaccard") * 10000.0).cast("long").alias("jaccard_bp"),
+    )
+
+
 _EMB_DIM = 64  # driver embeddings.parquet schema (fixed-width array<float>)
 # FIXTURE-LOCAL SRP config: the fixture's true top-5 neighbors sit at
 # cos ≈ 0.32 (θ ≈ 71°) on uniform-random vectors, so recall needs wide
@@ -294,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": _q_embedding_pairs,
         "winnow_substring_pairs_docs": _q_winnow_pairs_docs,
         "screen_near_dups_docs": _q_screen_near_dups,
+        "screen_batch_near_dups_docs": _q_screen_batch_near_dups,
         "srp_topk_embeddings": _q_srp_topk,
         "ivf_topk_embeddings": _q_ivf_topk,
         "srp_cosine_pairs_embeddings": _q_srp_cosine_pairs,
@@ -938,6 +961,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "winnow_substring_pairs_docs": _winnow_oracle_sql(),
         "screen_near_dups_docs": _screen_oracle_sql(),
+        "screen_batch_near_dups_docs": _screen_oracle_sql(),
         "srp_topk_embeddings": _srp_oracle_sql(),
         "ivf_topk_embeddings": _ivf_oracle_sql(),
         "srp_cosine_pairs_embeddings": _srp_pairs_oracle_sql(),

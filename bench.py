@@ -186,21 +186,12 @@ def main() -> None:
         # the Zipf corpus gets the same cost stats + discriminator call
         # (untimed — observability, not a benchmarked query)
         from deduplication_and_compression_spark.operators import textops as TX
-        from pyspark.sql import functions as _F
+        from deduplication_and_compression_spark.persistence import scoped_persist
         plan_picks = {"driver_docs": (TX.LAST_PLAN_PICK or {}).get("plan")}
         with persist_scope():
-            zbg = TX.word_bigrams(zdocs)
-            zf = (
-                zbg.groupBy("bigram").agg(_F.count(_F.lit(1)).alias("_gf"))
-                .agg(_F.count(_F.lit(1)).alias("v"),
-                     _F.sum(_F.col("_gf").cast("double") * _F.col("_gf")
-                            ).alias("sumsq"))
-                .collect()[0]
-            )
-            zd = zbg.agg(_F.approx_count_distinct("doc_id").alias("d")
-                         ).collect()[0]["d"]
-        plan_picks["zipf_docs"] = TX.choose_jaccard_plan(
-            zf["v"], zd, zf["sumsq"])
+            zbg = scoped_persist(TX.word_bigrams(zdocs))
+            plan_picks["zipf_docs"] = TX.choose_jaccard_plan(
+                *TX.jaccard_plan_stats(zbg))
         zdocs.unpersist()
 
         # srp_topk re-pin (VERDICT r3 Next #7): its r3 sweep number

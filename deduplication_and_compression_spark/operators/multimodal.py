@@ -131,9 +131,11 @@ def thumbnails(df: DataFrame, max_dim: int = 16) -> DataFrame:
                 s = max(1, max(h, w) // max_dim)
                 for st in range(0, len(idxs), _CHUNK):
                     part = idxs[st : st + _CHUNK]
-                    stack = np.ascontiguousarray(
-                        np.stack([decoded[i] for i in part])[:, ::s, ::s]
-                    )
+                    # stride each image to a VIEW first, then stack:
+                    # the copy is thumbnail-sized, never full-res (r5
+                    # code-review: stacking full-res frames first
+                    # materialized s²× the needed bytes per chunk)
+                    stack = np.stack([decoded[i][::s, ::s] for i in part])
                     th[part], tw[part] = stack.shape[1], stack.shape[2]
                     for j, i in enumerate(part):
                         thumb[i] = encode_image(stack[j], "raw")

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.hashing import make_seeds, splitmix64
 from ..functions.vectors import cosine, dot, norm
+from ..persistence import scoped_persist
 
 # Norms are hoisted: each side of a pair join carries a precomputed
 # per-vector norm column and the per-pair expression is dot/(na*nb) —
@@ -268,8 +269,12 @@ def srp_cosine_pairs(
     if dim is None:
         raise ValueError("pass dim explicitly (embedding width)")
     planes = srp_planes(n_tables, n_bits, dim, seed)
-    codes = _srp_code_table(emb, planes, n_bits, n_tables, id_col, vec_col,
-                            code_impl=code_impl)
+    # persisted: the code table feeds the probe branch AND the data
+    # side of the bucket join — unpersisted, the codes kernel (matmul
+    # or fold) executes once per branch (r5 code-review sweep)
+    codes = scoped_persist(_srp_code_table(emb, planes, n_bits, n_tables,
+                                           id_col, vec_col,
+                                           code_impl=code_impl))
     qcodes = _srp_probe_codes(codes, n_bits, probe_radius)
     cand = (
         qcodes.alias("x")
@@ -341,8 +346,12 @@ def srp_bucket_topk(
     if dim is None:
         raise ValueError("pass dim explicitly (embedding width)")
     planes = srp_planes(n_tables, n_bits, dim, seed)
-    codes = _srp_code_table(emb, planes, n_bits, n_tables, id_col, vec_col,
-                            code_impl=code_impl)
+    # persisted: the code table feeds the probe branch AND the data
+    # side of the bucket join — unpersisted, the codes kernel (matmul
+    # or fold) executes once per branch (r5 code-review sweep)
+    codes = scoped_persist(_srp_code_table(emb, planes, n_bits, n_tables,
+                                           id_col, vec_col,
+                                           code_impl=code_impl))
     qcodes = _srp_probe_codes(codes, n_bits, probe_radius)
     cand = (
         qcodes.alias("x")
@@ -448,12 +457,17 @@ def _ivf_cell_table(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """(id, cell): each vector's ``n_probes`` nearest coarse cells by
-    centroid dot product (unit centroids → same argmax as cosine),
-    one Arrow-batched matmul per batch — the same kernel discipline as
-    the SRP arrow path.  Ties (measure-zero for continuous data) break
-    toward the LOWER cell index on both engines: np.argsort(-D,
-    kind="stable") here, ORDER BY dot DESC, cell ASC in the oracle."""
+    """(id, pos, cell): each vector's ``n_probes`` nearest coarse cells
+    by centroid dot product (unit centroids → same argmax as cosine),
+    ranked by ``pos`` (0 = the vector's OWN cell), one Arrow-batched
+    matmul per batch — the same kernel discipline as the SRP arrow
+    path.  Emitting all probe ranks in ONE pass lets ivf_topk derive
+    both join sides (data side = pos 0, probe side = all) from a
+    single persisted table instead of running the O(n·n_cells·dim)
+    assignment matmul twice (r5 code-review finding).  Ties
+    (measure-zero for continuous data) break toward the LOWER cell
+    index on both engines: np.argsort(-D, kind="stable") here,
+    ORDER BY dot DESC, cell ASC in the oracle."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -461,6 +475,7 @@ def _ivf_cell_table(
     id_field = emb.schema[id_col].dataType
     out_schema = T.StructType([
         T.StructField("id", id_field),
+        T.StructField("pos", T.IntegerType()),
         T.StructField("cell", T.IntegerType()),
     ])
     src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
@@ -470,16 +485,19 @@ def _ivf_cell_table(
             n = len(pdf)
             if n == 0:
                 yield pd.DataFrame({"id": pdf["id"],
+                                    "pos": np.array([], dtype=np.int32),
                                     "cell": np.array([], dtype=np.int32)})
                 continue
             D = np.stack(pdf["_v"].to_numpy()).astype(np.float64) @ C
             if n_probes == 1:
                 yield pd.DataFrame({"id": pdf["id"].to_numpy(),
+                                    "pos": np.zeros(n, dtype=np.int32),
                                     "cell": D.argmax(axis=1).astype(np.int32)})
             else:
                 top = np.argsort(-D, axis=1, kind="stable")[:, :n_probes]
                 yield pd.DataFrame({
                     "id": pdf["id"].to_numpy().repeat(n_probes),
+                    "pos": np.tile(np.arange(n_probes, dtype=np.int32), n),
                     "cell": top.reshape(-1).astype(np.int32),
                 })
 
@@ -531,8 +549,11 @@ def ivf_topk(
         centroids = ivf_centroids(n_cells, dim, seed)
     n_cells = centroids.shape[0]
     n_probes = min(n_probes, n_cells)
-    cells = _ivf_cell_table(emb, centroids, 1, id_col, vec_col)
-    probes = _ivf_cell_table(emb, centroids, n_probes, id_col, vec_col)
+    # ONE assignment pass feeds both join sides (persisted — the probe
+    # and data branches would otherwise each re-run the matmul kernel)
+    ct = scoped_persist(_ivf_cell_table(emb, centroids, n_probes, id_col, vec_col))
+    cells = ct.where(F.col("pos") == 0).select("id", "cell")
+    probes = ct.select("id", "cell")
     cand = (
         probes.alias("x")
         .join(cells.alias("y"), "cell")

@@ -145,6 +145,28 @@ def bigram_jaccard_pairs_auto(df: DataFrame, threshold_bp: int = 5000) -> DataFr
     freq = scoped_persist(
         bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("_gf"))
     )
+    v, d, sumsq = jaccard_plan_stats(bg, freq)
+    pick = choose_jaccard_plan(v, d, sumsq)
+    global LAST_PLAN_PICK
+    LAST_PLAN_PICK = {"plan": pick, "v": v, "d": d, "sumsq": sumsq}
+    if pick == "ppjoin":
+        return bigram_jaccard_pairs(df, threshold_bp, bg=bg, freq=freq)
+    return bigram_jaccard_pairs_allpairs(df, threshold_bp, bg=bg)
+
+
+def jaccard_plan_stats(
+    bg: DataFrame, freq: DataFrame | None = None
+) -> tuple[int, int, float]:
+    """(v, d, sumsq): the cost inputs choose_jaccard_plan consumes —
+    distinct bigrams, approx distinct docs, and the estimated naive
+    join volume Σ df².  ONE implementation shared by the auto-pick,
+    bench.py's per-regime observability record, and the calibration
+    pin script (r5 code-review: three hand-rolled copies of this
+    aggregation would drift apart on the next cost-model change).
+    Pass an (ideally persisted) ``bg``; ``freq`` may be supplied when
+    the caller already computed the per-bigram counts."""
+    if freq is None:
+        freq = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("_gf"))
     fstats = (
         freq.agg(
             F.count(F.lit(1)).alias("v"),
@@ -156,13 +178,7 @@ def bigram_jaccard_pairs_auto(df: DataFrame, threshold_bp: int = 5000) -> DataFr
         .collect()[0]
     )
     d = bg.agg(F.approx_count_distinct("doc_id").alias("d")).collect()[0]["d"]
-    pick = choose_jaccard_plan(fstats["v"], d, fstats["sumsq"])
-    global LAST_PLAN_PICK
-    LAST_PLAN_PICK = {"plan": pick, "v": int(fstats["v"]), "d": int(d),
-                      "sumsq": float(fstats["sumsq"])}
-    if pick == "ppjoin":
-        return bigram_jaccard_pairs(df, threshold_bp, bg=bg, freq=freq)
-    return bigram_jaccard_pairs_allpairs(df, threshold_bp, bg=bg)
+    return int(fstats["v"]), int(d), float(fstats["sumsq"] or 0.0)
 
 
 # Observability: the last cost-based decision made by

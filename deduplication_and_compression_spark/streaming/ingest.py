@@ -269,7 +269,13 @@ def screen_batch_edges(
         cand_ids.join(sigs.select("id", "sig", "_txt"), "id")
         .join(ref_side.payload, "ref_id")
     )
-    return _verify_screen_edges(cand, cfg)
+    # the re-attach join fans back out if the SAME id appears on
+    # several batch rows (duplicate files in one trigger): cand_ids is
+    # deduped, but each duplicate sig row re-expands it — a final exact
+    # dedupe keeps the documented one-row-per-pair contract (r5
+    # code-review finding; the pre-verify cand_ids dedupe still does
+    # the heavy lifting of collapsing the per-band duplicates)
+    return _verify_screen_edges(cand, cfg).dropDuplicates(["id", "ref_id"])
 
 
 def run_screen_once(

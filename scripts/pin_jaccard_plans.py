@@ -20,12 +20,13 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-from pyspark.sql import functions as F
-
 from deduplication_and_compression_spark.operators.textops import (
-    bigram_jaccard_pairs, bigram_jaccard_pairs_allpairs, word_bigrams,
+    bigram_jaccard_pairs, bigram_jaccard_pairs_allpairs, jaccard_plan_stats,
+    word_bigrams,
 )
-from deduplication_and_compression_spark.persistence import persist_scope
+from deduplication_and_compression_spark.persistence import (
+    persist_scope, scoped_persist,
+)
 from deduplication_and_compression_spark.session import build_session
 
 
@@ -39,14 +40,10 @@ def main() -> None:
         .repartition(max(cpus, 8)).cache()
     n_docs = docs.count()  # materialize outside timed regions
 
-    # cost stats the discriminator would see on this fixture
-    bg = word_bigrams(docs)
-    stats = (
-        bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("_gf"))
-        .agg(F.count(F.lit(1)).alias("v"),
-             F.sum(F.col("_gf").cast("double") * F.col("_gf")).alias("sumsq"))
-        .collect()[0]
-    )
+    # cost stats the discriminator would see on this fixture — the
+    # same shared helper the auto-pick and bench.py use
+    with persist_scope():
+        v, d, sumsq = jaccard_plan_stats(scoped_persist(word_bigrams(docs)))
 
     def timed(fn):
         t0 = time.perf_counter()
@@ -65,9 +62,9 @@ def main() -> None:
 
     print(json.dumps({
         "sf_dir": sf_dir, "cpus": cpus, "n_docs": n_docs,
-        "v": stats["v"], "sumsq": stats["sumsq"], "rows": rows,
+        "v": v, "d": d, "sumsq": sumsq, "rows": rows,
         "walls": walls,
-        "best": {k: min(v) for k, v in walls.items()},
+        "best": {k: min(w) for k, w in walls.items()},
         "load1": os.getloadavg()[0],
     }))
     spark.stop()

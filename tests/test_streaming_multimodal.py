@@ -316,3 +316,27 @@ def test_screen_batch_band_explode_is_keys_only(spark, cfg):
     for line in gen_lines:
         low = line.lower()
         assert "txt" not in low and "sig" not in low, line
+
+
+def test_screen_batch_dedupes_repeated_id_within_batch(spark, cfg):
+    """A micro-batch containing the SAME image_id twice (duplicate
+    files in one trigger) must still emit each matching pair once:
+    cand_ids dedupes, but the re-attach-by-id join fans back out per
+    duplicate sig row without the final exact dedupe (r5 code-review
+    finding)."""
+    import pandas as pd
+    from deduplication_and_compression_spark.streaming.ingest import (
+        build_screen_reference, screen_batch_edges,
+    )
+
+    ref = spark.createDataFrame(pd.DataFrame({
+        "image_id": ["r0"],
+        "caption": ["a striped cat sits on the warm windowsill watching birds"],
+    }))
+    batch = spark.createDataFrame(pd.DataFrame({
+        "image_id": ["s0", "s0"],  # same id delivered twice in one batch
+        "caption": ["a striped cat sits on the warm windowsill watching crows"] * 2,
+    }))
+    ref_side = build_screen_reference(ref, cfg)
+    out = screen_batch_edges(batch, ref_side, cfg).toPandas()
+    assert len(out) == 1 and (out.iloc[0]["id"], out.iloc[0]["ref_id"]) == ("s0", "r0")

@@ -13,7 +13,9 @@ repo's public poly-fold + splitmix64 hash, so no Spark-internal
 hashing remains anywhere in the contract), BOTH streaming-screen
 dataflows (the stateless full-carry plan and the keys-only foreachBatch
 plan), and since round 5 the IVF-flat ANN tier (unit-norm quantizer
-centroids embedded as SQL literals).
+centroids embedded as SQL literals) and the SemDeDup-style
+embedding-space dedup (SRP pair predicate + recursive-CTE connected
+components + assignment contract, end to end).
 
 Column names and arithmetic order match between the Spark plans and
 the SQL strings so the driver's order-insensitive value-hash agrees;
@@ -327,6 +329,24 @@ def _q_brute_topk(spark, sf):
     return brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id", "rank")
 
 
+def _q_semantic_dedup(spark, sf):
+    """SemDeDup tier: SRP cosine pairs (the srp_cosine_pairs_embeddings
+    predicate, bit-for-bit) → connected components → min-id reps, over
+    the full embeddings table.  Memoized: CC scoped-persists its
+    per-round frontier and the pair tier its code tables."""
+    from deduplication_and_compression_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    def build():
+        return semantic_dedup(
+            _embs(spark, sf), threshold=0.3, cfg=CFG, dim=_EMB_DIM,
+            n_bits=_SRP_BITS, n_tables=_SRP_TABLES, probe_radius=1,
+        )
+
+    return _memo_query(spark, sf, "semantic_dedup", build)
+
+
 # IVF coarse-quantizer config for the driver fixture: 32 cells over
 # 2500 uniform-random vectors (~78/cell), 6 probes ≈ 19% of the corpus
 # scanned per query.  Seed-derived centroids (ivf_centroids) so the
@@ -364,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "screen_batch_near_dups_docs": _q_screen_batch_near_dups,
         "srp_topk_embeddings": _q_srp_topk,
         "ivf_topk_embeddings": _q_ivf_topk,
+        "semantic_dedup_embeddings": _q_semantic_dedup,
         "srp_cosine_pairs_embeddings": _q_srp_cosine_pairs,
         "simhash_docs": _q_simhash_docs,  # oracled via HUGEINT-mod-2^64 SQL
         "simhash_hamming_pairs_docs": _q_simhash_pairs_docs,
@@ -675,6 +696,33 @@ def _ivf_oracle_sql(n_cells: int = _IVF_CELLS, n_probes: int = _IVF_PROBES,
                                     ORDER BY cos DESC, neighbor_id ASC) AS rank
           FROM s)
         SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}
+    """
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    """DuckDB twin of semantic_dedup over embeddings: the
+    srp_cosine_pairs oracle as the pair predicate (identical literals
+    and config as srp_cosine_pairs_embeddings), the generic
+    min-label-propagation recursive CTE for components, then the
+    assignment contract (singletons = own cluster, rep = cluster
+    min id)."""
+    pairs_sql = _srp_pairs_oracle_sql()
+    return f"""
+        WITH RECURSIVE pairs AS (SELECT a, b FROM ({pairs_sql}) q),
+        edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        nodes AS (SELECT DISTINCT u FROM edges),
+        reach(u, lbl) AS (
+          SELECT u, u FROM nodes
+          UNION
+          SELECT edges.v, reach.lbl FROM reach JOIN edges ON edges.u = reach.u
+          WHERE reach.lbl < edges.v
+        ),
+        lab AS (SELECT u AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY u)
+        SELECT e.vec_id,
+               coalesce(l.cluster_id, e.vec_id) AS cluster_id,
+               e.vec_id <> coalesce(l.cluster_id, e.vec_id) AS is_duplicate,
+               coalesce(l.cluster_id, e.vec_id) AS representative_id
+        FROM embeddings e LEFT JOIN lab l ON e.vec_id = l.vec_id
     """
 
 
@@ -1009,6 +1057,7 @@ def oracle_sql() -> dict[str, str]:
         "screen_batch_near_dups_docs": _screen_oracle_sql(),
         "srp_topk_embeddings": _srp_oracle_sql(),
         "ivf_topk_embeddings": _ivf_oracle_sql(),
+        "semantic_dedup_embeddings": _semantic_dedup_oracle_sql(),
         "srp_cosine_pairs_embeddings": _srp_pairs_oracle_sql(),
         "simhash_docs": _simhash_oracle_sql(),
         "simhash_hamming_pairs_docs": _simhash_pairs_oracle_sql(),

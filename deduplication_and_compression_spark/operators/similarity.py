@@ -561,3 +561,48 @@ def ivf_topk(
         .select(F.col("x.id").alias("query_id"), F.col("y.id").alias("neighbor_id"))
     )
     return _cosine_rerank_topk(cand, emb, k, id_col, vec_col)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    cfg=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_bits: int = 16,
+    n_tables: int = 8,
+    probe_radius: int = 1,
+    seed: int = 0xB17_5EED,
+    code_impl: str = "arrow",
+) -> DataFrame:
+    """SemDeDup-style embedding-space deduplication (Abbas et al.,
+    arXiv:2303.09540 — cluster semantically-near items and keep one
+    representative): (id, cluster_id, is_duplicate, representative_id)
+    over the whole table.
+
+    Composition of the engine's existing tiers — the whole point of
+    keeping operators orthogonal: SRP-bucketed cosine pairs ≥ threshold
+    (sub-quadratic candidate generation, exact re-scoring) →
+    large-star/small-star connected components → min-id representative
+    election, the same assignment contract the image pipeline emits.
+    Deterministic in ``seed``, so the DuckDB oracle replays it end to
+    end (pair predicate as literals + recursive-CTE components).
+
+    At 10^12 rows every stage is the scale-shaped variant: candidates
+    shuffle (table, bucket, id) only, components converge in
+    O(log n) data-sized rounds, and the final join broadcasts the
+    (duplicates-only) label table.
+    """
+    from ..config import DEFAULT_CONFIG
+    from .assign import assignments_from_labels
+    from .components import connected_components
+
+    cfg = cfg or DEFAULT_CONFIG
+    pairs = srp_cosine_pairs(
+        emb, threshold=threshold, n_bits=n_bits, seed=seed, id_col=id_col,
+        vec_col=vec_col, dim=dim, n_tables=n_tables,
+        probe_radius=probe_radius, code_impl=code_impl,
+    )
+    labels = connected_components(pairs.select("a", "b"), cfg)
+    return assignments_from_labels(emb, labels, id_col=id_col)

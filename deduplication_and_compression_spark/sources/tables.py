@@ -49,3 +49,74 @@ def load_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def register_sf_views(spark: SparkSession, sf_dir: str) -> None:
     for name, df in load_sf_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+DOCUMENT_COLUMNS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def read_documents(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **options,
+) -> DataFrame:
+    """Ingest a document corpus from any supported source format,
+    normalized to the engine's document schema (doc_id BIGINT, text
+    STRING, lang, source, n_chars) so every document operator
+    (dedup tiers, textops, the screen) runs unchanged on top.
+
+    Formats:
+      ``parquet`` / ``json`` (JSON-lines) / ``csv`` — columns mapped
+        by name (``id_col``/``text_col`` rename into the contract;
+        csv defaults to header=true, multiLine off — override via
+        **options which pass through to the DataFrameReader);
+      ``text`` — one document per line; doc_id is synthesized with
+        monotonically_increasing_id(), which is unique and stable for
+        a FIXED input partitioning but not stable across different
+        partitionings — supply real ids upstream when identity
+        matters across runs.
+
+    Scale notes: json/csv/text all split by file (and by block for
+    uncompressed files), so a many-file corpus parallelizes like
+    parquet; missing lang/source columns are filled with nulls rather
+    than failing, and n_chars is recomputed when absent so quality
+    heuristics keep working on foreign corpora.
+    """
+    from pyspark.sql import functions as F
+
+    if fmt == "parquet":
+        df = spark.read.options(**options).parquet(path)
+    elif fmt == "json":
+        df = spark.read.options(**options).json(path)
+    elif fmt == "csv":
+        opts = {"header": "true", **options}
+        df = spark.read.options(**opts).csv(path)
+    elif fmt == "text":
+        df = (
+            spark.read.options(**options).text(path)
+            .select(
+                F.monotonically_increasing_id().alias("doc_id"),
+                F.col("value").alias("text"),
+            )
+        )
+        id_col, text_col = "doc_id", "text"
+    else:
+        raise ValueError(f"unsupported document format {fmt!r}")
+
+    df = df.withColumnRenamed(id_col, "doc_id").withColumnRenamed(text_col, "text")
+    cols = [
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text").cast("string").alias("text"),
+    ]
+    for c in ("lang", "source"):
+        cols.append(
+            (F.col(c).cast("string") if c in df.columns
+             else F.lit(None).cast("string")).alias(c)
+        )
+    cols.append(
+        (F.col("n_chars").cast("long") if "n_chars" in df.columns
+         else F.length("text").cast("long")).alias("n_chars")
+    )
+    return df.select(*cols)

@@ -68,10 +68,11 @@ def read_documents(
     (dedup tiers, textops, the screen) runs unchanged on top.
 
     Formats:
-      ``parquet`` / ``json`` (JSON-lines) / ``csv`` — columns mapped
-        by name (``id_col``/``text_col`` rename into the contract;
-        csv defaults to header=true, multiLine off — override via
-        **options which pass through to the DataFrameReader);
+      ``parquet`` / ``orc`` / ``json`` (JSON-lines) / ``csv`` —
+        columns mapped by name (``id_col``/``text_col`` rename into
+        the contract; csv defaults to header=true, multiLine off —
+        override via **options which pass through to the
+        DataFrameReader);
       ``text`` — one document per line; doc_id is synthesized with
         monotonically_increasing_id(), which is unique and stable for
         a FIXED input partitioning but not stable across different
@@ -88,6 +89,8 @@ def read_documents(
 
     if fmt == "parquet":
         df = spark.read.options(**options).parquet(path)
+    elif fmt == "orc":
+        df = spark.read.options(**options).orc(path)
     elif fmt == "json":
         df = spark.read.options(**options).json(path)
     elif fmt == "csv":

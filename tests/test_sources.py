@@ -25,12 +25,16 @@ def corpus_dir(tmp_path_factory):
     DOCS.to_parquet(d / "docs.parquet", index=False)
     DOCS.to_json(d / "docs.jsonl", orient="records", lines=True)
     DOCS.to_csv(d / "docs.csv", index=False)
+    import pyarrow as pa
+    import pyarrow.orc
+    pa.orc.write_table(pa.Table.from_pandas(DOCS), d / "docs.orc")
     (d / "docs.txt").write_text("\n".join(DOCS["text"]) + "\n")
     return d
 
 
 @pytest.mark.parametrize("fmt,fname", [
-    ("parquet", "docs.parquet"), ("json", "docs.jsonl"), ("csv", "docs.csv"),
+    ("parquet", "docs.parquet"), ("orc", "docs.orc"),
+    ("json", "docs.jsonl"), ("csv", "docs.csv"),
 ])
 def test_read_documents_formats_agree(spark, corpus_dir, fmt, fname):
     df = read_documents(spark, str(corpus_dir / fname), fmt=fmt)

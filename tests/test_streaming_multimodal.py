@@ -340,3 +340,52 @@ def test_screen_batch_dedupes_repeated_id_within_batch(spark, cfg):
     ref_side = build_screen_reference(ref, cfg)
     out = screen_batch_edges(batch, ref_side, cfg).toPandas()
     assert len(out) == 1 and (out.iloc[0]["id"], out.iloc[0]["ref_id"]) == ("s0", "r0")
+
+
+def test_screen_resume_from_checkpoint_no_reemission(spark, cfg, tmp_path):
+    """Restarting run_screen_once with the same checkpoint processes
+    only NEW files: a re-drain with nothing new appends nothing, and a
+    new drop appends only its own edges — the incremental-resume
+    contract the docstring promises."""
+    import pandas as pd
+    from deduplication_and_compression_spark.streaming.ingest import (
+        run_screen_once,
+    )
+
+    ref = spark.createDataFrame(pd.DataFrame({
+        "image_id": ["r0", "r1"],
+        "caption": ["a striped cat sits on the warm windowsill watching birds",
+                    "heavy rain over the harbor as fishing boats return home"],
+    }))
+
+    def drop(ids, caps):
+        return pd.DataFrame({
+            "image_id": ids, "bytes": [b""] * len(ids),
+            "w": np.array([1] * len(ids), dtype=np.int32),
+            "h": np.array([1] * len(ids), dtype=np.int32),
+            "fmt": ["raw"] * len(ids), "caption": caps,
+            "phash": [0] * len(ids),
+        })
+
+    inp, outp, chk = tmp_path / "rin", tmp_path / "rout", tmp_path / "rchk"
+    inp.mkdir()
+    drop(["s0"], ["a striped cat sits on the warm windowsill watching crows"]
+         ).to_parquet(inp / "d1.parquet", index=False)
+    run_screen_once(spark, str(inp), ref, str(outp), str(chk), cfg)
+    out1 = spark.read.parquet(str(outp)).toPandas()
+    assert {(r.id, r.ref_id) for r in out1.itertuples()} == {("s0", "r0")}
+
+    # re-drain, nothing new: no re-emission
+    run_screen_once(spark, str(inp), ref, str(outp), str(chk), cfg)
+    out2 = spark.read.parquet(str(outp)).toPandas()
+    assert len(out2) == len(out1)
+
+    # new drop: only its edges are appended
+    drop(["s1"], ["heavy rain over the harbor as fishing boats return late"]
+         ).to_parquet(inp / "d2.parquet", index=False)
+    run_screen_once(spark, str(inp), ref, str(outp), str(chk), cfg)
+    out3 = spark.read.parquet(str(outp)).toPandas()
+    assert {(r.id, r.ref_id) for r in out3.itertuples()} == {
+        ("s0", "r0"), ("s1", "r1")
+    }
+    assert len(out3) == 2

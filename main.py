@@ -26,12 +26,68 @@ sys.path.insert(0, str(REPO))
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="PySpark dedup/clustering pipeline")
-    p.add_argument("--input", required=True, help="images table: parquet path or catalog.db.table")
+    p.add_argument("--input", required=True, help="input table: parquet path or catalog.db.table")
     p.add_argument("--output", required=True, help="checkpoint/output directory")
+    p.add_argument("--mode", choices=("images", "docs"), default="images",
+                   help="images: tiered image pipeline; docs: text-corpus "
+                        "near-dup dedup over any read_documents format")
     p.add_argument("--tiers", default="exact,minhash,simhash,substring")
+    p.add_argument("--format", default="parquet",
+                   help="docs mode input format: parquet|orc|json|csv|text")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--cores", type=int, default=None, help="local[N] cores (omit on a cluster)")
     return p.parse_args(argv)
+
+
+def run_docs_mode(spark, args) -> dict:
+    """Document-corpus dedup: read_documents (any format) → MinHash/LSH
+    near-dup pairs over text → connected components → assignments +
+    character-savings accounting, written under --output.  The text
+    analog of the image pipeline's accounting report."""
+    from pyspark.sql import functions as F
+
+    from deduplication_and_compression_spark.config import DEFAULT_CONFIG
+    from deduplication_and_compression_spark.operators.assign import (
+        assignments_from_labels,
+    )
+    from deduplication_and_compression_spark.operators.components import (
+        connected_components,
+    )
+    from deduplication_and_compression_spark.operators.minhash_lsh import (
+        minhash_pairs,
+    )
+    from deduplication_and_compression_spark.persistence import persist_scope
+    from deduplication_and_compression_spark.sources.tables import read_documents
+
+    out = Path(args.output)
+    with persist_scope():
+        docs = read_documents(spark, args.input, fmt=args.format).persist()
+        pairs = minhash_pairs(
+            docs, DEFAULT_CONFIG, id_col="doc_id", text_col="text"
+        ).select("a", "b")
+        labels = connected_components(pairs, DEFAULT_CONFIG)
+        asg = assignments_from_labels(docs, labels, id_col="doc_id")
+        asg.write.mode("overwrite").parquet(str(out / "assignments"))
+        asg = spark.read.parquet(str(out / "assignments"))
+        stats = (
+            asg.join(docs.select("doc_id", "n_chars"), "doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("rows_total"),
+                F.sum((~F.col("is_duplicate")).cast("int")).alias("rows_unique"),
+                F.sum("n_chars").alias("chars_total"),
+                F.sum(F.when(F.col("is_duplicate"), F.col("n_chars"))
+                      .otherwise(F.lit(0))).alias("chars_dupes"),
+            )
+            .collect()[0]
+        )
+        docs.unpersist()
+    return {
+        "rows_total": stats["rows_total"],
+        "rows_unique": stats["rows_unique"],
+        "chars_total": int(stats["chars_total"]),
+        "chars_saved": int(stats["chars_dupes"]),
+        "dedup_pct": round(100.0 * stats["chars_dupes"] / max(1, stats["chars_total"]), 3),
+    }
 
 
 def main(argv=None) -> None:
@@ -45,6 +101,12 @@ def main(argv=None) -> None:
 
     active = SparkSession.getActiveSession()
     spark = active or build_session(app_name="dedup-pipeline", cores=args.cores)
+    if args.mode == "docs":
+        t0 = time.perf_counter()
+        report = run_docs_mode(spark, args)
+        report["wall_sec"] = round(time.perf_counter() - t0, 1)
+        print(json.dumps(report))
+        return
     images = read_table(spark, args.input)
     t0 = time.perf_counter()
     res = run_pipeline(

@@ -45,3 +45,36 @@ def test_cli_rejects_unknown_tier(spark, tmp_path):
             "--output", str(tmp_path / "out2"),
             "--tiers", "exact,bogus",
         ])
+
+
+def test_cli_docs_mode_jsonl(spark, tmp_path, capsys):
+    """--mode docs: read a JSON-lines corpus, run the MinHash text
+    tier end to end, write assignments, print the char-savings report.
+    Docs 1/3 are near-dups (one-word edit), 4 is an exact dup of 2."""
+    import pandas as pd
+
+    corpus = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "the quick brown fox jumps over the lazy sleeping dog today",
+            "completely unrelated text about maritime trade routes history",
+            "the quick brown fox jumps over the lazy sleeping cat today",
+            "completely unrelated text about maritime trade routes history",
+        ],
+    })
+    src = tmp_path / "corpus.jsonl"
+    corpus.to_json(src, orient="records", lines=True)
+    out_dir = tmp_path / "docs_out"
+    cli.main([
+        "--mode", "docs",
+        "--input", str(src),
+        "--format", "json",
+        "--output", str(out_dir),
+    ])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["rows_total"] == 4
+    assert report["rows_unique"] == 2  # {1,3} and {2,4} clusters
+    assert 0 < report["chars_saved"] < report["chars_total"]
+    asg = spark.read.parquet(str(out_dir / "assignments")).toPandas()
+    by_id = dict(zip(asg["doc_id"], asg["cluster_id"]))
+    assert by_id[1] == by_id[3] == 1 and by_id[2] == by_id[4] == 2

@@ -52,31 +52,25 @@ _STOP_SQL = "('a','the','of','and','to','in','is')"
 _TOKS = "string_split_regex(trim(text), '\\s+')"
 
 
-def _norm_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Normalize input parallelism — the run_pipeline rule applied to
-    the contract tables: the driver parquet files are single-split
-    (sf0.1 documents scans as ONE partition), so without this every
-    pre-shuffle stage (signature/SRP/IVF kernels, bigram explodes)
-    ran on a single task regardless of cores (r5 finding: forced
-    ppjoin 32s in-suite vs 11.7s with normalized input).  At 100 TB
-    inputs arrive in thousands of splits and this is a no-op; the
-    .rdd handle is a build-time plan conversion, no job (see
-    plans/pipeline.py for why the DataFrame-only alternatives lose)."""
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
-    return df
+# input parallelism normalization: the driver parquet files are
+# single-split (sf0.1 documents scans as ONE partition), so without
+# this every pre-shuffle stage (signature/SRP/IVF kernels, bigram
+# explodes) ran on a single task regardless of cores (r5 finding:
+# forced ppjoin 32s in-suite vs 11.7s with normalized input)
+from deduplication_and_compression_spark.sources.tables import (  # noqa: E402
+    normalize_parallelism,
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _norm_parallelism(
-        spark, spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return normalize_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
     )
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _norm_parallelism(
-        spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return normalize_parallelism(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     )
 
 

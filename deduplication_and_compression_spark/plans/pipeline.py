@@ -165,16 +165,9 @@ def run_pipeline(
     # Normalize input parallelism and cache: every tier scans the images
     # table, and a single-file parquet input would otherwise cap the
     # whole pipeline at a handful of input splits.
-    target = spark.sparkContext.defaultParallelism
-    # .rdd here converts the plan to an RDD handle at build time — no
-    # job runs (VERDICT r4 nit).  Kept deliberately: the DataFrame-only
-    # alternatives are worse — inputFiles() misjudges cached/in-memory
-    # inputs and file counts ignore split-by-size, and an unconditional
-    # repartition adds a full shuffle exactly when the caller already
-    # normalized partitioning (bench pre-repartitions + caches).
-    if images.rdd.getNumPartitions() < target:
-        images = images.repartition(target)
-    images = images.persist()
+    from ..sources.tables import normalize_parallelism
+
+    images = normalize_parallelism(images).persist()
     # materialize the cache AND capture the row count once: the phash
     # tier's auto keying scheme needs it, and counting here means no
     # tier ever runs a plan-build-time df.count() of its own

@@ -21,6 +21,27 @@ _TPCH_TABLES = (
 )
 
 
+def normalize_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition-if-skinny: small/single-split inputs (one parquet
+    file, a sub-block text file, a local test frame) otherwise run
+    every pre-shuffle stage — signature/SRP/IVF kernels, shingle
+    explodes — on a handful of tasks regardless of cores (r5 finding:
+    forced ppjoin 32s in-suite vs 11.7s with normalized input).  At
+    100 TB inputs arrive in thousands of splits and this is a no-op.
+    ONE implementation shared by run_pipeline, the driver contract
+    tables, and docs-mode ingest (r5 code-review: three copies drift).
+
+    The .rdd handle is a build-time plan→RDD conversion, no job; the
+    DataFrame-only alternatives lose — inputFiles() misjudges
+    cached/in-memory inputs and file counts ignore split-by-size, and
+    an unconditional repartition adds a full shuffle exactly when the
+    caller already normalized partitioning."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def read_table(spark: SparkSession, ref: str) -> DataFrame:
     """ref is either ``catalog.db.table`` (Iceberg, when configured) or
     a parquet path/directory."""
@@ -108,7 +129,35 @@ def read_documents(
     else:
         raise ValueError(f"unsupported document format {fmt!r}")
 
-    df = df.withColumnRenamed(id_col, "doc_id").withColumnRenamed(text_col, "text")
+    # id typing BEFORE the contract cast (r5 code-review finding):
+    # integral sources pass untouched; string sources (csv reads
+    # everything as string) go through the cast, which under Spark's
+    # ANSI default RAISES CAST_INVALID_INPUT on any malformed id
+    # rather than silently nulling it; fractional/complex types are
+    # rejected at build time — a lossy double→long id mapping is never
+    # what the caller meant.
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType,
+                                T.LongType, T.StringType)):
+        raise ValueError(
+            f"id column {id_col!r} has type {id_type.simpleString()};"
+            " map ids to int64 upstream (e.g. F.xxhash64) — the document"
+            " contract keys doc_id as BIGINT"
+        )
+    # project the WANTED source columns first: renaming id_col/text_col
+    # into a frame that already has doc_id/text columns would create
+    # duplicates and an AMBIGUOUS_REFERENCE failure downstream
+    keep = list(dict.fromkeys(
+        c for c in (id_col, text_col, "lang", "source", "n_chars")
+        if c in df.columns
+    ))
+    df = (
+        df.select(*keep)
+        .withColumnRenamed(id_col, "doc_id")
+        .withColumnRenamed(text_col, "text")
+    )
     cols = [
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("text").cast("string").alias("text"),

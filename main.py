@@ -56,12 +56,20 @@ def run_docs_mode(spark, args) -> dict:
     from deduplication_and_compression_spark.operators.minhash_lsh import (
         minhash_pairs,
     )
-    from deduplication_and_compression_spark.persistence import persist_scope
-    from deduplication_and_compression_spark.sources.tables import read_documents
+    from deduplication_and_compression_spark.persistence import (
+        persist_scope, scoped_persist,
+    )
+    from deduplication_and_compression_spark.sources.tables import (
+        normalize_parallelism, read_documents,
+    )
 
     out = Path(args.output)
     with persist_scope():
-        docs = read_documents(spark, args.input, fmt=args.format).persist()
+        # scoped: released on scope exit even if the write/collect
+        # throws (a bare persist + manual unpersist leaked on error)
+        docs = scoped_persist(normalize_parallelism(
+            read_documents(spark, args.input, fmt=args.format)
+        ))
         pairs = minhash_pairs(
             docs, DEFAULT_CONFIG, id_col="doc_id", text_col="text"
         ).select("a", "b")
@@ -80,13 +88,15 @@ def run_docs_mode(spark, args) -> dict:
             )
             .collect()[0]
         )
-        docs.unpersist()
+    # sums are NULL on an empty corpus — report zeros, not a TypeError
+    chars_total = int(stats["chars_total"] or 0)
+    chars_saved = int(stats["chars_dupes"] or 0)
     return {
         "rows_total": stats["rows_total"],
-        "rows_unique": stats["rows_unique"],
-        "chars_total": int(stats["chars_total"]),
-        "chars_saved": int(stats["chars_dupes"]),
-        "dedup_pct": round(100.0 * stats["chars_dupes"] / max(1, stats["chars_total"]), 3),
+        "rows_unique": int(stats["rows_unique"] or 0),
+        "chars_total": chars_total,
+        "chars_saved": chars_saved,
+        "dedup_pct": round(100.0 * chars_saved / max(1, chars_total), 3),
     }
 
 
@@ -102,6 +112,15 @@ def main(argv=None) -> None:
     active = SparkSession.getActiveSession()
     spark = active or build_session(app_name="dedup-pipeline", cores=args.cores)
     if args.mode == "docs":
+        # loud rejection beats silent no-ops: these flags only shape
+        # the image pipeline, and accepting them would let a user
+        # believe e.g. --tiers exact,simhash ran
+        if args.tiers != parse_args(["--input", "x", "--output", "y"]).tiers:
+            raise ValueError("--tiers applies to --mode images only "
+                             "(docs mode runs the MinHash text tier)")
+        if args.no_resume:
+            raise ValueError("--no-resume applies to --mode images only "
+                             "(docs mode always recomputes and overwrites)")
         t0 = time.perf_counter()
         report = run_docs_mode(spark, args)
         report["wall_sec"] = round(time.perf_counter() - t0, 1)

@@ -78,3 +78,18 @@ def test_cli_docs_mode_jsonl(spark, tmp_path, capsys):
     asg = spark.read.parquet(str(out_dir / "assignments")).toPandas()
     by_id = dict(zip(asg["doc_id"], asg["cluster_id"]))
     assert by_id[1] == by_id[3] == 1 and by_id[2] == by_id[4] == 2
+
+
+def test_cli_docs_mode_empty_corpus_and_flag_rejection(spark, tmp_path, capsys):
+    src = tmp_path / "empty.txt"
+    src.write_text("")
+    cli.main(["--mode", "docs", "--input", str(src), "--format", "text",
+              "--output", str(tmp_path / "eo")])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["rows_total"] == 0 and report["chars_saved"] == 0
+    with pytest.raises(ValueError, match="--tiers applies"):
+        cli.main(["--mode", "docs", "--input", str(src), "--format", "text",
+                  "--output", str(tmp_path / "eo2"), "--tiers", "exact"])
+    with pytest.raises(ValueError, match="--no-resume applies"):
+        cli.main(["--mode", "docs", "--input", str(src), "--format", "text",
+                  "--output", str(tmp_path / "eo3"), "--no-resume"])

@@ -74,3 +74,36 @@ def test_read_documents_custom_column_mapping(spark, tmp_path):
 def test_read_documents_rejects_unknown_format(spark):
     with pytest.raises(ValueError, match="unsupported document format"):
         read_documents(spark, "/nonexistent", fmt="avro")
+
+
+def test_read_documents_rejects_non_numeric_string_ids(spark, tmp_path):
+    """String ids that don't parse as integers must raise loudly at
+    execution, not silently cast to NULL and void every downstream id
+    join (r5 code-review finding) — Spark's ANSI default makes the
+    contract cast itself raise CAST_INVALID_INPUT per malformed row."""
+    pd.DataFrame({"doc_id": ["a-uuid-1", "a-uuid-2"],
+                  "text": ["alpha", "beta"]}).to_json(
+        tmp_path / "uuid.jsonl", orient="records", lines=True)
+    df = read_documents(spark, str(tmp_path / "uuid.jsonl"), fmt="json")
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+        df.collect()
+
+
+def test_read_documents_rejects_unsupported_id_type(spark, tmp_path):
+    pd.DataFrame({"doc_id": [1.5, 2.5], "text": ["a", "b"]}).to_parquet(
+        tmp_path / "f.parquet", index=False)
+    with pytest.raises(ValueError, match="map ids to int64"):
+        read_documents(spark, str(tmp_path / "f.parquet"), fmt="parquet")
+
+
+def test_read_documents_custom_ids_alongside_conflicting_columns(spark, tmp_path):
+    """A source carrying BOTH a doc_id column and a custom id_col must
+    not produce duplicate doc_id columns (AMBIGUOUS_REFERENCE)."""
+    pd.DataFrame({"doc_id": [99, 98], "id": [1, 2], "text": ["x", "y"],
+                  "body": ["alpha beta", "gamma delta"]}).to_parquet(
+        tmp_path / "c.parquet", index=False)
+    df = read_documents(spark, str(tmp_path / "c.parquet"), fmt="parquet",
+                        id_col="id", text_col="body")
+    pdf = df.toPandas().sort_values("doc_id")
+    assert list(pdf["doc_id"]) == [1, 2]       # custom ids win
+    assert list(pdf["text"]) == ["alpha beta", "gamma delta"]

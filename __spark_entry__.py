@@ -298,11 +298,18 @@ _SRP_BITS, _SRP_TABLES, _SRP_K = 4, 12, 5
 
 
 def _q_srp_topk(spark, sf):
-    # dim passed explicitly: no driver-side .first() at plan-build time
-    return srp_bucket_topk(
-        _embs(spark, sf), n_bits=_SRP_BITS, k=_SRP_K, dim=_EMB_DIM,
-        n_tables=_SRP_TABLES, probe_radius=0,
-    ).select("query_id", "neighbor_id", "rank")
+    # Memoized (ADVICE r5): srp_bucket_topk scoped-persists the SRP
+    # code table; under driver conditions (no ambient persist_scope)
+    # that would degrade to a session-lifetime cache leaked once per
+    # call.  _memo_query builds inside its own scope instead.
+    def build():
+        # dim passed explicitly: no driver .first() at plan-build time
+        return srp_bucket_topk(
+            _embs(spark, sf), n_bits=_SRP_BITS, k=_SRP_K, dim=_EMB_DIM,
+            n_tables=_SRP_TABLES, probe_radius=0,
+        ).select("query_id", "neighbor_id", "rank")
+
+    return _memo_query(spark, sf, "srp_topk", build)
 
 
 def _q_srp_cosine_pairs(spark, sf):
@@ -310,11 +317,15 @@ def _q_srp_cosine_pairs(spark, sf):
     # threshold + bp floor, candidates restricted to the SRP
     # d_H <= 1 multi-probe predicate (deterministic in the seed, so
     # the oracle replicates the approximation exactly; at the fixture
-    # config the per-pair hit probability at cos 0.3 is ~0.9995)
-    return srp_cosine_pairs(
-        _embs(spark, sf), threshold=0.3, n_bits=_SRP_BITS, dim=_EMB_DIM,
-        n_tables=_SRP_TABLES, probe_radius=1,
-    )
+    # config the per-pair hit probability at cos 0.3 is ~0.9995).
+    # Memoized for the same scoped-persist reason as _q_srp_topk.
+    def build():
+        return srp_cosine_pairs(
+            _embs(spark, sf), threshold=0.3, n_bits=_SRP_BITS, dim=_EMB_DIM,
+            n_tables=_SRP_TABLES, probe_radius=1,
+        )
+
+    return _memo_query(spark, sf, "srp_cosine_pairs", build)
 
 
 def _q_brute_topk(spark, sf):
@@ -350,12 +361,17 @@ _IVF_CELLS, _IVF_PROBES = 32, 6
 
 
 def _q_ivf_topk(spark, sf):
+    # Memoized (ADVICE r5): ivf_topk scoped-persists the cell-assignment
+    # table — same driver-conditions leak class as _q_srp_topk.
     from deduplication_and_compression_spark.operators.similarity import ivf_topk
 
-    return ivf_topk(
-        _embs(spark, sf), n_cells=_IVF_CELLS, k=_SRP_K, dim=_EMB_DIM,
-        n_probes=_IVF_PROBES,
-    ).select("query_id", "neighbor_id", "rank")
+    def build():
+        return ivf_topk(
+            _embs(spark, sf), n_cells=_IVF_CELLS, k=_SRP_K, dim=_EMB_DIM,
+            n_probes=_IVF_PROBES,
+        ).select("query_id", "neighbor_id", "rank")
+
+    return _memo_query(spark, sf, "ivf_topk", build)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

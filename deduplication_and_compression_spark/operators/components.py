@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import DedupConfig, DEFAULT_CONFIG
+from ..persistence import register_local_checkpoint, release_local_checkpoint
 
 
 def _symmetric(edges: DataFrame, parts: int) -> DataFrame:
@@ -106,6 +107,7 @@ def connected_components(
     cc_parts = max(4, min(sess_parts, n_edges // 250_000 + 4))
     prev_sig = None
     converged = False
+    prev_cp = cur
     for _ in range(cfg.cc_max_iterations):
         ls = _large_star(_symmetric(cur, cc_parts), cc_parts)
         ss = _small_star(_symmetric(ls, cc_parts), cc_parts)
@@ -118,6 +120,12 @@ def connected_components(
             )
             .localCheckpoint()
         )
+        # the new round is eagerly materialized and lineage-truncated,
+        # so the previous round's blocks are dead weight — at scale the
+        # old behavior held O(rounds) full edge tables in storage memory
+        # for the whole session (r6 leak-test finding)
+        release_local_checkpoint(prev_cp)
+        prev_cp = cur
         sig = _checksum(cur)
         if sig == prev_sig:
             converged = True
@@ -131,6 +139,12 @@ def connected_components(
             f"{cfg.cc_max_iterations} large-star/small-star rounds "
             f"({n_edges} input edges); raise cfg.cc_max_iterations"
         )
+    # the FINAL round's checkpoint backs the returned labels frame:
+    # inside a persist_scope (pipeline stages, _memo_query builders —
+    # all of which materialize before scope exit) it is released with
+    # the scope; bare driver callers keep it for the session, since the
+    # lazily-returned labels read through it.
+    register_local_checkpoint(cur)
     # converged: star graphs rooted at component minimum — but a node may
     # still appear with multiple labels in pathological tie rounds; take min.
     labels = (

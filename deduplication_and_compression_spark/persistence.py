@@ -55,6 +55,50 @@ def scoped_persist(df: DataFrame) -> DataFrame:
     return out
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a ``DataFrame.localCheckpoint()``'s cache.
+
+    ``DataFrame.unpersist()`` goes through the SQL CacheManager and is a
+    NO-OP for checkpoints — the cached blocks live at the RDD level,
+    behind the plan's LogicalRDD leaf — so iterative algorithms that
+    checkpoint per round (connected components) leaked one session-
+    lifetime RDD per round (found extending the r5 memo-leak test).
+    Reach the RDD through the analyzed plan instead.
+
+    After release the frame is UNREADABLE (localCheckpoint truncates
+    lineage; Spark raises CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND) — call it
+    only once every consumer has materialized.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # non-LogicalRDD plan or stopped session — nothing to free
+
+
+class _LocalCheckpointHandle:
+    """Adapter so a localCheckpointed frame can sit in a persist_scope
+    bucket next to plain persisted frames (scope exit calls
+    ``unpersist(blocking=False)`` on every member)."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self, blocking: bool = False) -> None:
+        release_local_checkpoint(self._df)
+
+
+def register_local_checkpoint(df: DataFrame) -> DataFrame:
+    """Hand a localCheckpointed frame to this thread's innermost
+    persist_scope for release on scope exit.  Outside any scope the
+    frame keeps its session lifetime — the same degradation contract as
+    ``scoped_persist`` (a bare driver caller consumes the result
+    lazily, so its backing blocks must survive the call)."""
+    stack = _scopes()
+    if stack:
+        stack[-1].append(_LocalCheckpointHandle(df))
+    return df
+
+
 @contextmanager
 def persist_scope():
     """Release every scoped_persist() made inside the block (in this

@@ -138,6 +138,16 @@ def read_documents(
     # what the caller meant.
     from pyspark.sql import types as T
 
+    # presence BEFORE typing (ADVICE r5): a missing id_col otherwise
+    # surfaces as a raw KeyError from df.schema[...], and a missing
+    # text_col slips past the rename to die later as an unresolved
+    # 'text' reference — both far worse errors than naming the column
+    for role, col in (("id", id_col), ("text", text_col)):
+        if col not in df.columns:
+            raise ValueError(
+                f"{role} column {col!r} not found in {fmt} source;"
+                f" available columns: {df.columns}"
+            )
     id_type = df.schema[id_col].dataType
     if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType,
                                 T.LongType, T.StringType)):

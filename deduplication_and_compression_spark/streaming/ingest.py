@@ -246,9 +246,21 @@ def screen_batch_edges(
     persist_scope releases it when the micro-batch completes.  Output:
     (id, ref_id, jaccard), exactly one row per matching pair.
     """
+    # one row per id BEFORE signing, with EXPLICIT semantics: a trigger
+    # carrying the same id under different captions previously verified
+    # the pair against every variant and kept an arbitrary winner
+    # (ADVICE r5).  min-caption-wins is deterministic, and the partial-
+    # agg shuffle carries exactly the (id, caption) rows the signature
+    # UDF was about to read anyway — same-caption duplicates collapse
+    # in the same pass.
+    uniq = (
+        batch.select(F.col(id_col), F.col(text_col))
+        .groupBy(id_col)
+        .agg(F.min(text_col).alias(text_col))
+    )
     sigs = scoped_persist(
         minhash_signatures(
-            batch.withColumn("_txt", F.col(text_col)),
+            uniq.withColumn("_txt", F.col(text_col)),
             cfg, id_col, text_col, keep_cols=("_txt",),
         ).filter(F.col("sig")[0] != F.lit(-1))
     )
@@ -269,12 +281,10 @@ def screen_batch_edges(
         cand_ids.join(sigs.select("id", "sig", "_txt"), "id")
         .join(ref_side.payload, "ref_id")
     )
-    # the re-attach join fans back out if the SAME id appears on
-    # several batch rows (duplicate files in one trigger): cand_ids is
-    # deduped, but each duplicate sig row re-expands it — a final exact
-    # dedupe keeps the documented one-row-per-pair contract (r5
-    # code-review finding; the pre-verify cand_ids dedupe still does
-    # the heavy lifting of collapsing the per-band duplicates)
+    # sigs is one row per id (the min-caption dedupe above) and
+    # cand_ids one row per pair, so the re-attach cannot fan out; the
+    # final dedupe is a cheap guard for the documented
+    # one-row-per-pair contract, not load-bearing
     return _verify_screen_edges(cand, cfg).dropDuplicates(["id", "ref_id"])
 
 

@@ -40,10 +40,13 @@ def parse_args(argv=None):
 
 
 def run_docs_mode(spark, args) -> dict:
-    """Document-corpus dedup: read_documents (any format) → MinHash/LSH
-    near-dup pairs over text → connected components → assignments +
-    character-savings accounting, written under --output.  The text
-    analog of the image pipeline's accounting report."""
+    """Document-corpus dedup: read_documents (any format) → the full
+    tiered pair union (exact/minhash/simhash/substring, --tiers
+    selectable, priority election) → connected components →
+    assignments + character-savings accounting, written under
+    --output.  The text analog of the image pipeline's report — a
+    captions-only corpus gets the same detector chain the image table
+    gets (reference: /root/reference/Test/Testbench.cpp:81-123)."""
     from pyspark.sql import functions as F
 
     from deduplication_and_compression_spark.config import DEFAULT_CONFIG
@@ -53,12 +56,10 @@ def run_docs_mode(spark, args) -> dict:
     from deduplication_and_compression_spark.operators.components import (
         connected_components,
     )
-    from deduplication_and_compression_spark.operators.minhash_lsh import (
-        minhash_pairs,
-    )
     from deduplication_and_compression_spark.persistence import (
         persist_scope, scoped_persist,
     )
+    from deduplication_and_compression_spark.plans.docs import docs_tier_pairs
     from deduplication_and_compression_spark.sources.tables import (
         normalize_parallelism, read_documents,
     )
@@ -70,8 +71,13 @@ def run_docs_mode(spark, args) -> dict:
         docs = scoped_persist(normalize_parallelism(
             read_documents(spark, args.input, fmt=args.format)
         ))
-        pairs = minhash_pairs(
-            docs, DEFAULT_CONFIG, id_col="doc_id", text_col="text"
+        # materialize the cache and capture the count once: every tier
+        # scans the corpus, and the SimHash tier's size-adaptive keying
+        # needs the row count without an action of its own
+        n_docs = docs.count()
+        pairs = docs_tier_pairs(
+            docs, DEFAULT_CONFIG, tiers=tuple(args.tiers.split(",")),
+            n_docs=n_docs,
         ).select("a", "b")
         labels = connected_components(pairs, DEFAULT_CONFIG)
         asg = assignments_from_labels(docs, labels, id_col="doc_id")
@@ -112,12 +118,9 @@ def main(argv=None) -> None:
     active = SparkSession.getActiveSession()
     spark = active or build_session(app_name="dedup-pipeline", cores=args.cores)
     if args.mode == "docs":
-        # loud rejection beats silent no-ops: these flags only shape
-        # the image pipeline, and accepting them would let a user
-        # believe e.g. --tiers exact,simhash ran
-        if args.tiers != parse_args(["--input", "x", "--output", "y"]).tiers:
-            raise ValueError("--tiers applies to --mode images only "
-                             "(docs mode runs the MinHash text tier)")
+        # loud rejection beats a silent no-op: docs mode has no
+        # checkpoint stages, so a user passing --no-resume would
+        # believe resume existed to disable
         if args.no_resume:
             raise ValueError("--no-resume applies to --mode images only "
                              "(docs mode always recomputes and overwrites)")

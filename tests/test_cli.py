@@ -47,10 +47,8 @@ def test_cli_rejects_unknown_tier(spark, tmp_path):
         ])
 
 
-def test_cli_docs_mode_jsonl(spark, tmp_path, capsys):
-    """--mode docs: read a JSON-lines corpus, run the MinHash text
-    tier end to end, write assignments, print the char-savings report.
-    Docs 1/3 are near-dups (one-word edit), 4 is an exact dup of 2."""
+def _write_docs_corpus(tmp_path):
+    """Docs 1/3 are near-dups (one-word edit), 4 is an exact dup of 2."""
     import pandas as pd
 
     corpus = pd.DataFrame({
@@ -64,6 +62,15 @@ def test_cli_docs_mode_jsonl(spark, tmp_path, capsys):
     })
     src = tmp_path / "corpus.jsonl"
     corpus.to_json(src, orient="records", lines=True)
+    return src
+
+
+def test_cli_docs_mode_jsonl(spark, tmp_path, capsys):
+    """--mode docs default: read a JSON-lines corpus, run the FULL
+    tiered union (exact/minhash/simhash/substring — parity with the
+    image pipeline), write assignments, print the char-savings
+    report."""
+    src = _write_docs_corpus(tmp_path)
     out_dir = tmp_path / "docs_out"
     cli.main([
         "--mode", "docs",
@@ -80,6 +87,40 @@ def test_cli_docs_mode_jsonl(spark, tmp_path, capsys):
     assert by_id[1] == by_id[3] == 1 and by_id[2] == by_id[4] == 2
 
 
+@pytest.mark.parametrize("tiers,expect_unique", [
+    # exact alone sees only the verbatim 2==4 dup; 1/3 stay singletons
+    ("exact", 3),
+    # each near-dup tier catches 1~3; exact's 2==4 is also an
+    # identical-payload pair every tier's value collapse emits
+    ("minhash", 2),
+    # a 1-in-10-token edit moves ~7 simhash bits — outside the
+    # hamming<=3 radius — so simhash sees only the identical 2==4 pair
+    ("simhash", 3),
+    ("exact,substring", 2),
+])
+def test_cli_docs_mode_tier_selection(spark, tmp_path, capsys, tiers,
+                                      expect_unique):
+    src = _write_docs_corpus(tmp_path)
+    out_dir = tmp_path / f"docs_out_{tiers.replace(',', '_')}"
+    cli.main([
+        "--mode", "docs",
+        "--input", str(src),
+        "--format", "json",
+        "--output", str(out_dir),
+        "--tiers", tiers,
+    ])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["rows_total"] == 4
+    assert report["rows_unique"] == expect_unique, tiers
+
+
+def test_cli_docs_mode_rejects_unknown_tier(spark, tmp_path):
+    src = _write_docs_corpus(tmp_path)
+    with pytest.raises(ValueError, match="unknown doc tiers"):
+        cli.main(["--mode", "docs", "--input", str(src), "--format", "json",
+                  "--output", str(tmp_path / "bad"), "--tiers", "exact,bogus"])
+
+
 def test_cli_docs_mode_empty_corpus_and_flag_rejection(spark, tmp_path, capsys):
     src = tmp_path / "empty.txt"
     src.write_text("")
@@ -87,9 +128,6 @@ def test_cli_docs_mode_empty_corpus_and_flag_rejection(spark, tmp_path, capsys):
               "--output", str(tmp_path / "eo")])
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["rows_total"] == 0 and report["chars_saved"] == 0
-    with pytest.raises(ValueError, match="--tiers applies"):
-        cli.main(["--mode", "docs", "--input", str(src), "--format", "text",
-                  "--output", str(tmp_path / "eo2"), "--tiers", "exact"])
     with pytest.raises(ValueError, match="--no-resume applies"):
         cli.main(["--mode", "docs", "--input", str(src), "--format", "text",
                   "--output", str(tmp_path / "eo3"), "--no-resume"])

@@ -89,6 +89,21 @@ def test_read_documents_rejects_non_numeric_string_ids(spark, tmp_path):
         df.collect()
 
 
+def test_read_documents_rejects_missing_columns(spark, tmp_path):
+    """A corpus missing the id or text column must fail with a
+    ValueError NAMING the column and listing what is available — not a
+    raw KeyError (id) or a late unresolved-'text' analysis error
+    (ADVICE r5)."""
+    pd.DataFrame({"doc_id": [1], "text": ["alpha"]}).to_json(
+        tmp_path / "ok.jsonl", orient="records", lines=True)
+    with pytest.raises(ValueError, match=r"id column 'uid' not found.*doc_id"):
+        read_documents(spark, str(tmp_path / "ok.jsonl"), fmt="json",
+                       id_col="uid")
+    with pytest.raises(ValueError, match=r"text column 'body' not found"):
+        read_documents(spark, str(tmp_path / "ok.jsonl"), fmt="json",
+                       text_col="body")
+
+
 def test_read_documents_rejects_unsupported_id_type(spark, tmp_path):
     pd.DataFrame({"doc_id": [1.5, 2.5], "text": ["a", "b"]}).to_parquet(
         tmp_path / "f.parquet", index=False)

@@ -342,6 +342,40 @@ def test_screen_batch_dedupes_repeated_id_within_batch(spark, cfg):
     assert len(out) == 1 and (out.iloc[0]["id"], out.iloc[0]["ref_id"]) == ("s0", "r0")
 
 
+def test_screen_batch_conflicting_captions_min_wins(spark, cfg):
+    """The SAME id under DIFFERENT captions in one trigger must resolve
+    deterministically: min-caption-wins (ADVICE r5 — previously the
+    pair verified against every variant and kept an arbitrary jaccard
+    row).  Proven both ways: when the min caption matches the reference
+    the pair appears; when the min caption is unrelated, the pair must
+    NOT appear even though the other variant would have matched."""
+    import pandas as pd
+    from deduplication_and_compression_spark.streaming.ingest import (
+        build_screen_reference, screen_batch_edges,
+    )
+
+    near = "a striped cat sits on the warm windowsill watching crows"
+    far = "unrelated quarterly report numbers for the finance meeting"
+    ref_side = build_screen_reference(spark.createDataFrame(pd.DataFrame({
+        "image_id": ["r0"],
+        "caption": ["a striped cat sits on the warm windowsill watching birds"],
+    })), cfg)
+
+    # 'a striped…' < 'unrelated…': min picks the matching caption
+    batch = spark.createDataFrame(pd.DataFrame(
+        {"image_id": ["s0", "s0"], "caption": [near, far]}))
+    out = screen_batch_edges(batch, ref_side, cfg).toPandas()
+    assert len(out) == 1 and out.iloc[0]["ref_id"] == "r0"
+
+    # prefix forces the UNRELATED caption to be the min ('a a…' sorts
+    # before 'a striped…'): no edge, even though the other variant
+    # matches — proof the loser is never signed
+    batch2 = spark.createDataFrame(pd.DataFrame(
+        {"image_id": ["s0", "s0"], "caption": [near, "a a " + far]}))
+    out2 = screen_batch_edges(batch2, ref_side, cfg).toPandas()
+    assert len(out2) == 0, out2
+
+
 def test_screen_resume_from_checkpoint_no_reemission(spark, cfg, tmp_path):
     """Restarting run_screen_once with the same checkpoint processes
     only NEW files: a re-drain with nothing new appends nothing, and a

@@ -374,6 +374,35 @@ def _q_ivf_topk(spark, sf):
     return _memo_query(spark, sf, "ivf_topk", build)
 
 
+_IVF_FIT_SEED = 0x1CF_5EED
+_IVF_FIT_SAMPLE = 65_536
+
+
+def _q_ivf_topk_fitted(spark, sf):
+    """The data-adapted IVF path as a contract row (VERDICT r5
+    "what's missing" #3): fit_ivf_centroids is deterministic in
+    (seed, sample), and the sample at contract scale is the whole
+    corpus ordered by id, so the DuckDB oracle refits the SAME
+    centroids from the same parquet via the shared numpy core
+    (fit_ivf_kmeans) and embeds them as literals — the fitted path
+    gets the full hash gate, not just the recall test."""
+    from deduplication_and_compression_spark.operators.similarity import (
+        fit_ivf_centroids, ivf_topk,
+    )
+
+    def build():
+        emb = _embs(spark, sf)
+        C = fit_ivf_centroids(
+            emb, n_cells=_IVF_CELLS, seed=_IVF_FIT_SEED,
+            sample_rows=_IVF_FIT_SAMPLE,
+        )
+        return ivf_topk(
+            emb, k=_SRP_K, dim=_EMB_DIM, n_probes=_IVF_PROBES, centroids=C,
+        ).select("query_id", "neighbor_id", "rank")
+
+    return _memo_query(spark, sf, "ivf_topk_fitted", build)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_docs": _q_exact_dedup,
@@ -394,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "screen_batch_near_dups_docs": _q_screen_batch_near_dups,
         "srp_topk_embeddings": _q_srp_topk,
         "ivf_topk_embeddings": _q_ivf_topk,
+        "ivf_topk_fitted_embeddings": _q_ivf_topk_fitted,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "srp_cosine_pairs_embeddings": _q_srp_cosine_pairs,
         "simhash_docs": _q_simhash_docs,  # oracled via HUGEINT-mod-2^64 SQL
@@ -660,20 +690,53 @@ def _srp_pairs_oracle_sql(n_bits: int = _SRP_BITS, n_tables: int = _SRP_TABLES,
     """
 
 
+def _fitted_ivf_centroids(sf_dir: str = "/root/testdata/sf0.01"):
+    """Refit the data-adapted quantizer WITHOUT Spark for the oracle:
+    pyarrow reads the same parquet the query reads, the sample is the
+    whole corpus ordered by vec_id (the contract pins
+    corpus ≤ 2·sample_rows, where fit_ivf_centroids applies no hash
+    filter), and the shared numpy core reproduces the Spark-side
+    centroids bit-for-bit.  sf_dir defaults to the driver's
+    correctness scale — the only scale oracle_sql() strings run at."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from deduplication_and_compression_spark.operators.similarity import (
+        fit_ivf_kmeans,
+    )
+
+    pdf = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+        .to_pandas().sort_values("vec_id")
+    )
+    if len(pdf) > 2 * _IVF_FIT_SAMPLE:
+        raise ValueError(
+            f"fitted-IVF oracle pins corpus <= {2 * _IVF_FIT_SAMPLE} rows"
+            " (beyond that fit_ivf_centroids hash-filters the sample,"
+            " which this pyarrow twin does not replicate)"
+        )
+    X = np.stack(pdf.head(_IVF_FIT_SAMPLE)["embedding"].to_numpy())
+    return fit_ivf_kmeans(X, _IVF_CELLS, _IVF_FIT_SEED)
+
+
 def _ivf_oracle_sql(n_cells: int = _IVF_CELLS, n_probes: int = _IVF_PROBES,
                     k: int = _SRP_K, dim: int = _EMB_DIM,
-                    seed: int = 0x1CF_5EED) -> str:
-    """DuckDB twin of ivf_topk with the seed-derived quantizer: the
-    unit-norm centroids embed as double literals (repr round-trips
-    exactly); cell assignment = argmax centroid dot with ties to the
-    LOWER cell index (ORDER BY dot DESC, cell ASC — matching numpy's
-    first-max argmax / stable argsort), probes = top-n_probes cells,
-    then the shared exact-cosine re-rank."""
+                    seed: int = 0x1CF_5EED, C=None) -> str:
+    """DuckDB twin of ivf_topk: the unit-norm centroids embed as
+    double literals (repr round-trips exactly); cell assignment =
+    argmax centroid dot with ties to the LOWER cell index (ORDER BY
+    dot DESC, cell ASC — matching numpy's first-max argmax / stable
+    argsort), probes = top-n_probes cells, then the shared
+    exact-cosine re-rank.  ``C`` overrides the seed-derived quantizer
+    with explicit centroids (the fitted path)."""
     from deduplication_and_compression_spark.operators.similarity import (
         ivf_centroids,
     )
 
-    C = ivf_centroids(n_cells, dim, seed)
+    if C is None:
+        C = ivf_centroids(n_cells, dim, seed)
+    n_cells = C.shape[0]
     dots = ", ".join(
         f"list_inner_product(v, [{', '.join(repr(float(x)) for x in C[j])}])"
         for j in range(n_cells)
@@ -1067,6 +1130,7 @@ def oracle_sql() -> dict[str, str]:
         "screen_batch_near_dups_docs": _screen_oracle_sql(),
         "srp_topk_embeddings": _srp_oracle_sql(),
         "ivf_topk_embeddings": _ivf_oracle_sql(),
+        "ivf_topk_fitted_embeddings": _ivf_oracle_sql(C=_fitted_ivf_centroids()),
         "semantic_dedup_embeddings": _semantic_dedup_oracle_sql(),
         "srp_cosine_pairs_embeddings": _srp_pairs_oracle_sql(),
         "simhash_docs": _simhash_oracle_sql(),

@@ -407,29 +407,16 @@ def ivf_centroids(n_cells: int, dim: int, seed: int) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
-def fit_ivf_centroids(
-    emb: DataFrame,
-    n_cells: int,
-    seed: int = 0x1CF_5EED,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    sample_rows: int = 65_536,
-    iters: int = 10,
+def fit_ivf_kmeans(
+    X: np.ndarray, n_cells: int, seed: int, iters: int = 10
 ) -> np.ndarray:
-    """Spherical mini k-means on a BOUNDED deterministic sample —
-    driver-side BY DESIGN: the sample is ≤ sample_rows vectors
-    (orderBy(id).limit — deterministic across runs and partitionings),
-    so the collect is O(sample_rows · dim) bytes regardless of corpus
-    size, and the per-iteration work is one numpy matmul.  This is the
-    standard IVF recipe (train the coarse quantizer on a sample,
-    assign the full corpus distributed); k-means over the FULL corpus
-    would be a Spark-iterative job that buys little for a coarse
-    quantizer.  Returns unit-norm (n_cells, dim) float64 centroids."""
-    pdf = (
-        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .orderBy("_id").limit(sample_rows).toPandas()
-    )
-    X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+    """Pure-numpy spherical mini k-means core — deterministic in
+    (X, n_cells, seed, iters).  Shared by fit_ivf_centroids (Spark
+    sample) and the driver contract's DuckDB oracle generator (pyarrow
+    sample of the same rows), so the fitted-quantizer path is
+    bit-equal on both engines.  Rows of X need not be normalized;
+    returns unit-norm (n_cells, dim) float64 centroids."""
+    X = X.astype(np.float64, copy=False)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)].copy()
@@ -448,6 +435,42 @@ def fit_ivf_centroids(
             else:  # empty cell: reseed deterministically
                 C[j] = X[rng.integers(len(X))]
     return C
+
+
+def fit_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    seed: int = 0x1CF_5EED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 65_536,
+    iters: int = 10,
+) -> np.ndarray:
+    """Spherical mini k-means on a BOUNDED deterministic sample —
+    driver-side BY DESIGN: the collect is O(sample_rows · dim) bytes
+    regardless of corpus size, and the per-iteration work is one numpy
+    matmul.  This is the standard IVF recipe (train the coarse
+    quantizer on a sample, assign the full corpus distributed);
+    k-means over the FULL corpus would be a Spark-iterative job that
+    buys little for a coarse quantizer.
+
+    Sampling is a deterministic hash-threshold filter (VERDICT r5
+    nit): corpora larger than 2·sample_rows keep only ids with
+    xxhash64(id) % k == 0 (k sized so ~2·sample_rows survive), then
+    the tiny survivor set is sorted and truncated.  The old
+    orderBy(id).limit form ran a per-partition top-n heap over EVERY
+    row — at 10^12 rows a full-corpus sort for a 65k sample.  The
+    filter is a per-row predicate, independent of partitioning, so
+    centroids stay identical across repartitions and runs.
+    Returns unit-norm (n_cells, dim) float64 centroids."""
+    src = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    n = src.count()
+    if n > 2 * sample_rows:
+        k = n // (2 * sample_rows)
+        src = src.where(F.pmod(F.xxhash64(F.col("_id")), F.lit(k)) == 0)
+    pdf = src.orderBy("_id").limit(sample_rows).toPandas()
+    X = np.stack(pdf["_v"].to_numpy())
+    return fit_ivf_kmeans(X, n_cells, seed, iters)
 
 
 def _ivf_cell_table(

@@ -223,6 +223,31 @@ def test_fit_ivf_centroids_deterministic_and_unit_norm(emb):
     assert c1.shape == (8, 64)
     assert np.array_equal(c1, c2), "fit must be deterministic across runs"
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    # sample_rows=500 on the 2500-row fixture exercises the
+    # hash-threshold filter path (n > 2*sample_rows): a per-row
+    # predicate must give identical centroids under ANY partitioning —
+    # the property the old orderBy(id).limit bought with a corpus sort
+    c3 = fit_ivf_centroids(emb.repartition(13), n_cells=8,
+                           sample_rows=500, iters=4)
+    assert np.array_equal(c1, c3), "fit must not depend on partitioning"
+
+
+def test_fitted_ivf_oracle_centroids_bit_equal(emb):
+    """The driver contract's pyarrow refit (__spark_entry__.
+    _fitted_ivf_centroids) must reproduce the Spark-side fit
+    BIT-FOR-BIT at the contract config — the property that lets the
+    fitted-IVF row embed its quantizer as SQL literals."""
+    import __spark_entry__ as e
+    from deduplication_and_compression_spark.operators.similarity import (
+        fit_ivf_centroids,
+    )
+
+    spark_fit = fit_ivf_centroids(
+        emb, n_cells=e._IVF_CELLS, seed=e._IVF_FIT_SEED,
+        sample_rows=e._IVF_FIT_SAMPLE,
+    )
+    oracle_fit = e._fitted_ivf_centroids(SF_DIR)
+    assert np.array_equal(spark_fit, oracle_fit)
 
 
 def test_ivf_topk_ranks_dense_and_candidates_bounded(emb):

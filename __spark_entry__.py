@@ -403,6 +403,32 @@ def _q_ivf_topk_fitted(spark, sf):
     return _memo_query(spark, sf, "ivf_topk_fitted", build)
 
 
+# IVF-PQ contract config: seed-derived coarse cells (same quantizer as
+# ivf_topk_embeddings), FITTED PQ codebooks (m_sub=8 subspaces of
+# dim 8, 16 codewords each — 8 small ints replace 64 floats in the
+# candidate shuffle), refine·k = 20 shortlist, exact re-rank.
+_PQ_M, _PQ_KSUB, _PQ_SEED, _PQ_REFINE = 8, 16, 0x90_5EED, 8
+
+
+def _q_ivf_pq_topk(spark, sf):
+    """IVF-PQ ANN: codes-instead-of-vectors candidate scoring (ADC
+    lookup tables in a cogrouped applyInPandas), deterministic in
+    (seed, pq_seed) so the DuckDB oracle replays cells, codes, ADC
+    scores, shortlist and re-rank from literals."""
+    from deduplication_and_compression_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    def build():
+        return ivf_pq_topk(
+            _embs(spark, sf), n_cells=_IVF_CELLS, k=_SRP_K, m_sub=_PQ_M,
+            k_sub=_PQ_KSUB, pq_seed=_PQ_SEED, dim=_EMB_DIM,
+            n_probes=_IVF_PROBES, refine=_PQ_REFINE,
+        ).select("query_id", "neighbor_id", "rank")
+
+    return _memo_query(spark, sf, "ivf_pq_topk", build)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_docs": _q_exact_dedup,
@@ -424,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_topk_embeddings": _q_srp_topk,
         "ivf_topk_embeddings": _q_ivf_topk,
         "ivf_topk_fitted_embeddings": _q_ivf_topk_fitted,
+        "ivf_pq_topk_embeddings": _q_ivf_pq_topk,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "srp_cosine_pairs_embeddings": _q_srp_cosine_pairs,
         "simhash_docs": _q_simhash_docs,  # oracled via HUGEINT-mod-2^64 SQL
@@ -763,6 +790,133 @@ def _ivf_oracle_sql(n_cells: int = _IVF_CELLS, n_probes: int = _IVF_PROBES,
                  list_inner_product(q.v, n.v)
                    / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(n.v, n.v))) AS cos
           FROM cand JOIN e q ON q.vec_id = query_id JOIN e n ON n.vec_id = neighbor_id),
+        r AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM s)
+        SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}
+    """
+
+
+def _fitted_pq_codebooks(sf_dir: str = "/root/testdata/sf0.01"):
+    """Refit the PQ codebooks WITHOUT Spark for the oracle — the
+    pyarrow twin of fit_pq_codebooks on the same bounded sample (see
+    _fitted_ivf_centroids for the sample-parity contract)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from deduplication_and_compression_spark.operators.similarity import (
+        fit_pq_kmeans,
+    )
+
+    pdf = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+        .to_pandas().sort_values("vec_id")
+    )
+    if len(pdf) > 2 * _IVF_FIT_SAMPLE:
+        raise ValueError(
+            "fitted-PQ oracle pins corpus <= 2*sample_rows"
+            " (the pyarrow twin does not replicate the hash filter)"
+        )
+    X = np.stack(pdf.head(_IVF_FIT_SAMPLE)["embedding"].to_numpy())
+    return fit_pq_kmeans(X, _PQ_M, _PQ_KSUB, _PQ_SEED)
+
+
+def _ivf_pq_oracle_sql(n_probes: int = _IVF_PROBES, k: int = _SRP_K,
+                       dim: int = _EMB_DIM, seed: int = 0x1CF_5EED) -> str:
+    """DuckDB twin of ivf_pq_topk: seed-derived coarse cells (reusing
+    the ivf_topk literal recipe), PQ code assignment per subspace
+    (first-max argmax over the 16 codeword scores — list_position of
+    the list max picks the LOWER code on ties, matching numpy), ADC
+    scoring as an explicit per-subspace chain (the same left-to-right
+    association the Arrow kernel's einsum + row-sum uses; codeword
+    squared norms embed as literals computed by the SAME numpy line as
+    the kernel's), shortlist row_number <= refine·k by (score DESC,
+    neighbor ASC), then the shared exact-cosine re-rank."""
+    import numpy as np
+
+    from deduplication_and_compression_spark.operators.similarity import (
+        ivf_centroids,
+    )
+
+    C = ivf_centroids(_IVF_CELLS, dim, seed)
+    cb = _fitted_pq_codebooks()
+    m_sub, k_sub, dsub = cb.shape
+    rnorm_sq = (cb * cb).sum(axis=2)  # same numpy reduction as the kernel
+
+    def vec(x) -> str:
+        return "[" + ", ".join(repr(float(v)) for v in x) + "]"
+
+    cell_dots = ", ".join(
+        f"list_inner_product(v, {vec(C[j])})" for j in range(_IVF_CELLS)
+    )
+    # per-subspace code: 0-based first-max argmax over the 16 codeword
+    # scores s·c - |c|^2/2 (identical linearization to the kernel)
+    code_exprs = []
+    for m in range(m_sub):
+        lo, hi = m * dsub + 1, (m + 1) * dsub
+        terms = ", ".join(
+            f"list_inner_product(v[{lo}:{hi}], {vec(cb[m][j])})"
+            f" - {float(0.5 * (cb[m][j] * cb[m][j]).sum())!r}"
+            for j in range(k_sub)
+        )
+        code_exprs.append(
+            f"list_position([{terms}], list_aggregate([{terms}], 'max')) - 1"
+        )
+    codes_list = "[" + ", ".join(code_exprs) + "]"
+    # ADC score: sum over subspaces of q_sub · codeword(code_m), over
+    # sqrt of the summed codeword norms — both as explicit left-assoc
+    # chains so the association matches the kernel's sequential sums
+    cw = [
+        f"({'[' + ', '.join(vec(cb[m][j]) for j in range(k_sub)) + ']'})"
+        f"[c.nc[{m + 1}] + 1]"
+        for m in range(m_sub)
+    ]
+    dot_chain = " + ".join(
+        f"list_inner_product(q.v[{m * dsub + 1}:{(m + 1) * dsub}], {cw[m]})"
+        for m in range(m_sub)
+    )
+    norm_chain = " + ".join(
+        f"({vec(rnorm_sq[m])})[c.nc[{m + 1}] + 1]" for m in range(m_sub)
+    )
+    shortlist = _PQ_REFINE * k
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        d AS (SELECT vec_id, [{cell_dots}] AS dots FROM e),
+        dt AS (
+          SELECT vec_id, t.i AS cell, dots[t.i + 1] AS dot
+          FROM d, (SELECT unnest(range({_IVF_CELLS})) AS i) t(i)),
+        rk AS (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dot DESC, cell ASC) AS rn
+          FROM dt),
+        cells AS (SELECT vec_id, cell FROM rk WHERE rn = 1),
+        probes AS (SELECT vec_id, cell FROM rk WHERE rn <= {n_probes}),
+        codes AS (SELECT vec_id, {codes_list} AS nc FROM e),
+        cand AS (
+          SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id
+          FROM probes x JOIN cells y
+            ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+        sc AS (
+          SELECT query_id, neighbor_id,
+                 ({dot_chain}) / greatest(sqrt({norm_chain}), 1e-30) AS score
+          FROM cand
+          JOIN e q ON q.vec_id = query_id
+          JOIN codes c ON c.vec_id = neighbor_id),
+        sl AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id ASC) AS srn
+          FROM sc),
+        short AS (SELECT query_id, neighbor_id FROM sl WHERE srn <= {shortlist}),
+        s AS (
+          SELECT query_id, neighbor_id,
+                 list_inner_product(q.v, n.v)
+                   / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(n.v, n.v))) AS cos
+          FROM short JOIN e q ON q.vec_id = query_id JOIN e n ON n.vec_id = neighbor_id),
         r AS (
           SELECT query_id, neighbor_id,
                  row_number() OVER (PARTITION BY query_id
@@ -1131,6 +1285,7 @@ def oracle_sql() -> dict[str, str]:
         "srp_topk_embeddings": _srp_oracle_sql(),
         "ivf_topk_embeddings": _ivf_oracle_sql(),
         "ivf_topk_fitted_embeddings": _ivf_oracle_sql(C=_fitted_ivf_centroids()),
+        "ivf_pq_topk_embeddings": _ivf_pq_oracle_sql(),
         "semantic_dedup_embeddings": _semantic_dedup_oracle_sql(),
         "srp_cosine_pairs_embeddings": _srp_pairs_oracle_sql(),
         "simhash_docs": _simhash_oracle_sql(),

@@ -151,6 +151,7 @@ def main() -> None:
             "simhash_hamming_pairs_docs",
             "srp_topk_embeddings",
             "ivf_topk_embeddings",
+            "ivf_pq_topk_embeddings",
         ):
             timed(name, lambda name=name: qs[name](spark, sf_dir).count())
 

@@ -463,14 +463,23 @@ def fit_ivf_centroids(
     filter is a per-row predicate, independent of partitioning, so
     centroids stay identical across repartitions and runs.
     Returns unit-norm (n_cells, dim) float64 centroids."""
+    X = _bounded_sample_matrix(emb, id_col, vec_col, sample_rows)
+    return fit_ivf_kmeans(X, n_cells, seed, iters)
+
+
+def _bounded_sample_matrix(
+    emb: DataFrame, id_col: str, vec_col: str, sample_rows: int
+) -> np.ndarray:
+    """Deterministic, partition-invariant ≤sample_rows training sample
+    as a numpy matrix — shared by the IVF coarse quantizer and the PQ
+    codebook fit (identical recipe keeps both oracle-replayable)."""
     src = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     n = src.count()
     if n > 2 * sample_rows:
         k = n // (2 * sample_rows)
         src = src.where(F.pmod(F.xxhash64(F.col("_id")), F.lit(k)) == 0)
     pdf = src.orderBy("_id").limit(sample_rows).toPandas()
-    X = np.stack(pdf["_v"].to_numpy())
-    return fit_ivf_kmeans(X, n_cells, seed, iters)
+    return np.stack(pdf["_v"].to_numpy())
 
 
 def _ivf_cell_table(
@@ -584,6 +593,215 @@ def ivf_topk(
         .select(F.col("x.id").alias("query_id"), F.col("y.id").alias("neighbor_id"))
     )
     return _cosine_rerank_topk(cand, emb, k, id_col, vec_col)
+
+
+# ------------------------------------------------------------------ IVF-PQ
+
+
+def fit_pq_kmeans(
+    X: np.ndarray, m_sub: int, k_sub: int, seed: int, iters: int = 10
+) -> np.ndarray:
+    """Pure-numpy PQ codebook training (Jégou et al., TPAMI'11):
+    plain-L2 Lloyd k-means per subspace, deterministic in
+    (X, m_sub, k_sub, seed, iters) — the oracle refits it from the
+    same parquet, like fit_ivf_kmeans.  Returns (m_sub, k_sub,
+    dim/m_sub) float64 codebooks."""
+    X = X.astype(np.float64, copy=False)
+    n, dim = X.shape
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_sub, k_sub, dsub))
+    for m in range(m_sub):
+        S = X[:, m * dsub:(m + 1) * dsub]
+        C = S[rng.choice(n, size=min(k_sub, n), replace=False)].copy()
+        if len(C) < k_sub:  # tiny corpus: duplicate-pad deterministically
+            C = np.vstack([C, C[rng.integers(len(C), size=k_sub - len(C))]])
+        for _ in range(iters):
+            # argmin ||s-c||^2 == argmax (s.c - |c|^2/2); ties -> lower code
+            d = S @ C.T - 0.5 * (C * C).sum(axis=1)
+            assign = d.argmax(axis=1)
+            for j in range(k_sub):
+                members = S[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+                else:
+                    C[j] = S[rng.integers(n)]
+        books[m] = C
+    return books
+
+
+def fit_pq_codebooks(
+    emb: DataFrame,
+    m_sub: int = 8,
+    k_sub: int = 16,
+    seed: int = 0x90_5EED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 65_536,
+    iters: int = 10,
+) -> np.ndarray:
+    """PQ codebooks from the shared bounded deterministic sample (same
+    recipe as fit_ivf_centroids — see _bounded_sample_matrix)."""
+    X = _bounded_sample_matrix(emb, id_col, vec_col, sample_rows)
+    return fit_pq_kmeans(X, m_sub, k_sub, seed, iters)
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): per-subspace nearest-codeword ids — the
+    M-byte-per-vector representation that replaces the float vector in
+    candidate shuffles.  One fused matmul per Arrow batch: stack the
+    per-subspace distance linearizations into a single
+    (dim, m_sub·k_sub) matrix so each batch pays ONE BLAS call, not
+    m_sub (the SRP arrow-kernel discipline).  Ties break toward the
+    lower code on both engines (argmax of dot − |c|²/2, stable)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    m_sub, k_sub, dsub = codebooks.shape
+    cb = codebooks.astype(np.float64)
+    # block-diagonal layout: column m*k_sub+j holds codeword j of
+    # subspace m placed in that subspace's rows, zero elsewhere — then
+    # X @ W yields every (subspace, codeword) dot in one matmul
+    W = np.zeros((m_sub * dsub, m_sub * k_sub))
+    for m in range(m_sub):
+        W[m * dsub:(m + 1) * dsub, m * k_sub:(m + 1) * k_sub] = cb[m].T
+    half_sq = 0.5 * (cb * cb).sum(axis=2)  # (m_sub, k_sub)
+    id_field = emb.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("id", id_field),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+    ])
+    src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+
+    def _gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"id": pdf["id"], "codes": []})
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            D = (X @ W).reshape(len(pdf), m_sub, k_sub) - half_sq
+            codes = D.argmax(axis=2).astype(np.int32)
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(),
+                                "codes": list(codes)})
+
+    return src.mapInPandas(_gen, out_schema)
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    n_cells: int = 256,
+    k: int = 10,
+    m_sub: int = 8,
+    k_sub: int = 16,
+    seed: int = 0x1CF_5EED,
+    pq_seed: int = 0x90_5EED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_probes: int = 8,
+    refine: int = 8,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al., TPAMI'11, with the PQ
+    stage the flat variant scopes out): IVF cells bound the candidate
+    set, PQ codes score it WITHOUT shipping vectors, and only the
+    per-query shortlist (refine·k) pays the exact cosine re-rank.
+
+    Why this exists next to ivf_topk: at 10^12 rows the flat variant's
+    re-rank joins float vectors (dim·4 bytes) onto EVERY candidate
+    pair — the dominant shuffle.  Here the candidate join carries
+    m_sub int8-range codes per neighbor; the query's full vector is
+    attached ONCE PER QUERY via a cogrouped applyInPandas, which
+    builds the classic ADC lookup table (LUT[m][j] = q_sub·c[m][j])
+    and scores every candidate by m_sub table lookups.  Reconstructed
+    norms decompose exactly across orthogonal subspaces
+    (|r|² = Σ_m |c[m][code_m]|²), so the approximate cosine needs no
+    extra data.  The exact re-rank then touches refine·k ids per
+    query — candidate-volume-independent.
+
+    Deterministic in (seed, pq_seed): default centroids are
+    seed-derived, default codebooks are fitted on the bounded sample
+    (fit_pq_codebooks), so the DuckDB oracle replays both from
+    literals.  Output: (query_id, neighbor_id, rank) like the other
+    ANN tiers.
+
+    Sizing refine: ADC at the default 4 bits/subspace ranks only
+    coarsely WITHIN a tight cluster (quantization error ~ the
+    intra-cluster spread), so the shortlist must over-fetch —
+    measured on the clustered recall gate, refine=4 recalls 0.57 and
+    refine=8 recalls 1.0 (tests/test_similarity.py).  refine·k stays
+    candidate-volume-independent, so the exact re-rank cost does not
+    grow with corpus size.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if centroids is None:
+        if dim is None:
+            raise ValueError("pass dim explicitly (embedding width)")
+        centroids = ivf_centroids(n_cells, dim, seed)
+    n_cells = centroids.shape[0]
+    n_probes = min(n_probes, n_cells)
+    if codebooks is None:
+        codebooks = fit_pq_codebooks(
+            emb, m_sub=m_sub, k_sub=k_sub, seed=pq_seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    m_sub, k_sub, dsub = codebooks.shape
+    cb = codebooks.astype(np.float64)
+    rnorm_sq = (cb * cb).sum(axis=2)  # (m_sub, k_sub)
+
+    ct = scoped_persist(_ivf_cell_table(emb, centroids, n_probes, id_col, vec_col))
+    cells = ct.where(F.col("pos") == 0).select("id", "cell")
+    probes = ct.select("id", "cell")
+    codes = scoped_persist(pq_encode(emb, codebooks, id_col, vec_col))
+    cand = (
+        probes.alias("x")
+        .join(cells.alias("y"), "cell")
+        .where(F.col("x.id") != F.col("y.id"))
+        .select(F.col("x.id").alias("query_id"), F.col("y.id").alias("neighbor_id"))
+        .join(codes.select(F.col("id").alias("neighbor_id"),
+                           F.col("codes").alias("_nc")), "neighbor_id")
+    )
+    qvecs = emb.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"))
+    id_field = emb.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("query_id", id_field),
+        T.StructField("neighbor_id", id_field),
+    ])
+    shortlist_n = refine * k
+
+    def _score(key, cpdf, qpdf):
+        if not len(cpdf) or not len(qpdf):
+            return pd.DataFrame({"query_id": [], "neighbor_id": []})
+        q = np.asarray(qpdf["_qv"].iloc[0], dtype=np.float64)
+        # ADC lookup table: LUT[m][j] = q_sub(m) · codebook[m][j]
+        lut = np.einsum("md,mjd->mj", q.reshape(m_sub, dsub), cb)
+        C = np.stack(cpdf["_nc"].to_numpy()).astype(np.int64)  # (n, m_sub)
+        rows = np.arange(m_sub)
+        dots = lut[rows, C].sum(axis=1)
+        rn = np.sqrt(rnorm_sq[rows, C].sum(axis=1))
+        score = dots / np.maximum(rn, 1e-30)  # |q| constant per group
+        nid = cpdf["neighbor_id"].to_numpy()
+        order = np.lexsort((nid, -score))[:shortlist_n]
+        return pd.DataFrame({"query_id": cpdf["query_id"].to_numpy()[order],
+                             "neighbor_id": nid[order]})
+
+    shortlist = (
+        cand.groupBy("query_id")
+        .cogroup(qvecs.groupBy("query_id"))
+        .applyInPandas(_score, out_schema)
+    )
+    return _cosine_rerank_topk(shortlist, emb, k, id_col, vec_col)
 
 
 def semantic_dedup(

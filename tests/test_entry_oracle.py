@@ -223,6 +223,7 @@ def test_srp_probe_radius_2_matches_oracle(spark, ddb):
     ("srp_cosine_pairs", lambda s, d: entrymod._q_srp_cosine_pairs(s, d)),
     ("ivf_topk", lambda s, d: entrymod._q_ivf_topk(s, d)),
     ("ivf_topk_fitted", lambda s, d: entrymod._q_ivf_topk_fitted(s, d)),
+    ("ivf_pq_topk", lambda s, d: entrymod._q_ivf_pq_topk(s, d)),
 ])
 def test_memo_queries_release_intermediates(spark, name, call):
     """VERDICT r4 "what's wrong" #2 / r5 code-review: memoized contract

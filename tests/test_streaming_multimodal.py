@@ -423,3 +423,73 @@ def test_screen_resume_from_checkpoint_no_reemission(spark, cfg, tmp_path):
         ("s0", "r0"), ("s1", "r1")
     }
     assert len(out3) == 2
+
+
+def _stage_shuffle_write_bytes(spark) -> dict[tuple[int, int], int]:
+    """Per-(stageId, attemptId) shuffle WRITE bytes from the driver's
+    AppStatusStore — the same store the UI REST API serves, readable
+    via py4j with the UI disabled (stageList(statuses, details,
+    withSummaries, quantiles, taskStatus))."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    gw = sc._gateway
+    stages = store.stageList(
+        gw.jvm.java.util.ArrayList(), False, False,
+        gw.new_array(gw.jvm.double, 0), gw.jvm.java.util.ArrayList(),
+    )
+    out: dict[tuple[int, int], int] = {}
+    it = stages.iterator()
+    while it.hasNext():
+        s = it.next()
+        out[(s.stageId(), s.attemptId())] = s.shuffleWriteBytes()
+    return out
+
+
+def test_screen_batch_keys_only_measured_shuffle_bytes(spark, cfg, images_df):
+    """MEASURED upgrade of the plan-shape gate above (VERDICT r5 Next
+    #6): with broadcast joins disabled so every band join pays a real
+    exchange, the keys-only batch plan must shuffle-write strictly —
+    and substantially — fewer bytes than the full-carry stateless plan
+    on the same input, because the caption + 128-lane signature never
+    ride the ~lsh_bands× band explode.  Bytes come from the driver's
+    status store (stage-level shuffleWriteBytes, diffed around each
+    plan), so this asserts the actual exchange payload, not the plan
+    string.  scripts/bench_screen_shuffle.py records the same contrast
+    at 100k-doc reference scale for BENCH."""
+    from deduplication_and_compression_spark.persistence import persist_scope
+    from deduplication_and_compression_spark.streaming.ingest import (
+        build_screen_reference, screen_batch_edges,
+    )
+
+    ref = images_df.select("image_id", "caption")
+    batch = ref.where(F.pmod(F.xxhash64("image_id"), F.lit(5)) == 0)
+    ref_side = build_screen_reference(ref, cfg)
+    ref_side.base.persist()
+    try:
+        ref_side.base.count()  # static side built outside both regions
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        before = _stage_shuffle_write_bytes(spark)
+        with persist_scope():
+            n_keys = screen_batch_edges(batch, ref_side, cfg).count()
+        mid = _stage_shuffle_write_bytes(spark)
+        with persist_scope():
+            n_full = (
+                streaming_near_dup_screen(batch, cfg=cfg, ref_side=ref_side)
+                .dropDuplicates(["id", "ref_id"]).count()
+            )
+        after = _stage_shuffle_write_bytes(spark)
+
+        keys_bytes = sum(v for k, v in mid.items() if k not in before)
+        full_bytes = sum(v for k, v in after.items() if k not in mid)
+        # same edges from both plans, and both actually shuffled
+        assert n_keys == n_full and n_keys > 0, (n_keys, n_full)
+        assert keys_bytes > 0, "keys-only plan produced no exchange?"
+        # payload-free explode: comfortably under half the bytes even
+        # at this small fixture (the 100k-scale bench records the
+        # production-size ratio)
+        assert full_bytes > 2 * keys_bytes, (keys_bytes, full_bytes)
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        ref_side.base.unpersist()

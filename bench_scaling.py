@@ -49,7 +49,11 @@ def calibrate_host(workers_list=(1, 2, 8, 16, 32)) -> dict[int, float]:
     def run(w):
         t0 = _t.perf_counter()
         with mp.Pool(w) as p:
-            p.map(_burn, [3_000_000] * w)
+            # ~2.5s/worker: with the old 3M-iteration unit (~0.25s) Pool
+            # fork/teardown dominated and the ceiling read ~0.57 on an
+            # IDLE box (r6 probe: scripts/probe_host_scaling.py) — the
+            # burn must dwarf process startup for the ratio to mean CPU
+            p.map(_burn, [30_000_000] * w)
         return _t.perf_counter() - t0
 
     base = run(1)

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from deduplication_and_compression_spark.config import DEFAULT_CONFIG as CFG
 from deduplication_and_compression_spark.operators import textops
 from deduplication_and_compression_spark.operators.assign import (
-    assignments_from_labels,
+    assignments_from_labels, leakage_safe_split,
 )
 from deduplication_and_compression_spark.operators.components import (
     connected_components,
@@ -131,6 +131,22 @@ def _memo_query(spark, sf, name, builder):
     return _QUERY_MEMO[key]
 
 
+def evict_query_memo(name: str | None = None) -> int:
+    """Unpersist and drop memoized contract-row results (all rows, or
+    those whose memo name contains ``name``).  For benchmarks that
+    re-time a memoized query: without eviction a repeat leg reads the
+    persisted result table in ~0.1s and records a cache hit, not a
+    compute wall (observed r6: srp_topk walls [5.58, 0.12, 0.12])."""
+    hit = [k for k in _QUERY_MEMO if name is None or name in k[2]]
+    for k in hit:
+        try:
+            _QUERY_MEMO[k].unpersist()
+        except Exception:
+            pass  # session may already be stopped
+        del _QUERY_MEMO[k]
+    return len(hit)
+
+
 # the verified bigram-Jaccard pair set feeds three queries (pairs, CC
 # clusters, savings); a production pipeline computes it once, so the
 # contract layer does too.  The pair table itself is tiny
@@ -162,6 +178,18 @@ def _q_cc_clusters(spark, sf):
     pairs = _bigram_pairs(spark, sf)
     labels = connected_components(pairs.select("a", "b"), CFG)
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def _q_train_val_split(spark, sf):
+    """Leakage-safe train/val split over the document near-dup graph:
+    CC labels from the verified bigram-Jaccard pairs, singletons their
+    own cluster, split decided by md5(cluster_id) bucket — so near-dup
+    documents always share a split (Lee et al. ACL'22 §6)."""
+    docs = _docs(spark, sf)
+    pairs = _bigram_pairs(spark, sf)
+    labels = connected_components(pairs.select("a", "b"), CFG)
+    asg = assignments_from_labels(docs, labels, id_col="doc_id")
+    return leakage_safe_split(asg, frac_train=0.9, id_col="doc_id")
 
 
 def _q_cluster_savings(spark, sf):
@@ -440,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_jaccard_ppjoin": _q_bigram_jaccard_ppjoin,
         "lgram_substring_pairs": _q_lgram_substring,
         "cc_bigram_clusters": _q_cc_clusters,
+        "train_val_split_docs": _q_train_val_split,
         "cluster_savings_docs": _q_cluster_savings,
         "cosine_neighbor_stats": _q_cosine_stats,
         "brute_topk_embeddings": _q_brute_topk,
@@ -1232,6 +1261,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "cc_bigram_clusters": f"WITH RECURSIVE {_CC_CTE} SELECT doc_id, cluster_id FROM lab",
+        # md5-bucket split replayed exactly: DuckDB parses the same 15
+        # hex chars Spark's conv(substr(md5,1,15),16,10) does, via a
+        # list_reduce hex fold (no conv() in DuckDB)
+        "train_val_split_docs": f"""
+            WITH RECURSIVE {_CC_CTE},
+            asg AS (
+              SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
+            bk AS (
+              SELECT doc_id, cluster_id,
+                     CAST(list_reduce(
+                       list_transform(split(substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15), ''),
+                                      c -> strpos('0123456789abcdef', c) - 1),
+                       (a, b) -> a * 16 + b) % 10000 AS BIGINT) AS split_bucket
+              FROM asg)
+            SELECT doc_id, cluster_id, split_bucket,
+                   CASE WHEN split_bucket < 9000 THEN 'train' ELSE 'val' END AS split
+            FROM bk
+        """,
         "cluster_savings_docs": f"""
             WITH RECURSIVE {_CC_CTE},
             fullt AS (

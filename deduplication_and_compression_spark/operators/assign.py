@@ -41,6 +41,50 @@ def assignments_from_labels(df: DataFrame, labels: DataFrame,
     )
 
 
+def leakage_safe_split(
+    assignments: DataFrame,
+    frac_train: float = 0.9,
+    id_col: str = "image_id",
+    salt: str = "",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Cluster-safe train/val split: every member of a near-dup cluster
+    lands in the SAME split, so near-duplicates of training documents
+    can never leak into validation (the failure mode Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL'22
+    §6 measures: dup-driven train/test overlap inflates eval).
+
+    Input is an ``assignments_from_labels`` frame (id_col, cluster_id,
+    ...); the split key is the CLUSTER id, hashed to a bucket in
+    [0, buckets) via the first 15 hex chars of md5(cluster_id || salt)
+    — 60 bits, deterministic, engine-independent (the DuckDB oracle
+    replays it exactly), and independent of row order or partitioning.
+    ``salt`` re-deals the split without touching cluster membership.
+
+    Scale: pure per-row JVM expressions (md5/conv/pmod inside
+    whole-stage codegen), NO shuffle and no Python — at 10^12 rows this
+    adds a map over whatever partitioning ``assignments`` already has.
+    Emits (id_col, cluster_id, split_bucket, split).
+    """
+    if not 0.0 < frac_train < 1.0:
+        raise ValueError(f"frac_train must be in (0,1), got {frac_train}")
+    cut = int(round(frac_train * buckets))
+    # explicit string cast: a numeric cluster_id (docs corpora) must
+    # hash its decimal text form, the same bytes the SQL oracle md5s
+    key = F.concat(F.col("cluster_id").cast("string"), F.lit(salt))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+    return assignments.select(
+        id_col,
+        "cluster_id",
+        bucket.cast("long").alias("split_bucket"),
+        F.when(bucket < F.lit(cut), F.lit("train"))
+        .otherwise(F.lit("val")).alias("split"),
+    )
+
+
 def payload_bytes(df: DataFrame) -> DataFrame:
     """(image_id, payload_bytes) = encoded image bytes + caption bytes."""
     return df.select(

@@ -249,3 +249,28 @@ def test_memo_queries_release_intermediates(spark, name, call):
     assert n_after <= n_before + 1, (
         f"{name} memo build leaked intermediates: {n_before} -> {n_after}"
     )
+
+
+def test_evict_query_memo_releases_and_recomputes(spark):
+    """bench.py re-times memoized rows best-of-3; without eviction the
+    repeat legs read the persisted result in ~0.1s (observed r6 srp
+    walls [5.58, 0.12, 0.12]).  evict_query_memo must unpersist the
+    result table, drop the key, and leave the row rebuildable."""
+    sf_dir = "/root/testdata/sf0.001"
+    out = entrymod._q_srp_topk(spark, sf_dir)
+    assert out.count() > 0
+    key = (spark, sf_dir, "srp_topk")
+    assert key in entrymod._QUERY_MEMO
+    # assert on THIS DataFrame's storage level, not the global
+    # persistent-RDD count: the async ContextCleaner can collect other
+    # tests' lingering caches between two counts in a full-suite run
+    assert out.storageLevel.useMemory
+    # >= 1, not == 1: in a full-suite session the oracle tests memoize
+    # the same row under OTHER sf dirs, and the name filter clears all
+    assert entrymod.evict_query_memo("srp_topk") >= 1
+    assert key not in entrymod._QUERY_MEMO
+    assert not out.storageLevel.useMemory
+    # name filter: nothing else was touched, and the row rebuilds
+    assert entrymod.evict_query_memo("srp_topk") == 0
+    assert entrymod._q_srp_topk(spark, sf_dir).count() == out.count()
+    entrymod.evict_query_memo("srp_topk")  # leave no session-long cache

@@ -6,7 +6,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from deduplication_and_compression_spark.operators.assign import (
-    dedup_ratio, payload_bytes, savings,
+    assignments_from_labels, dedup_ratio, payload_bytes, savings,
 )
 from deduplication_and_compression_spark.operators.exact import (
     exact_assignments, exact_pairs,
@@ -122,3 +122,45 @@ def test_zipf_generator_edge_sizes():
     assert len(docs) == 1 and len(truth) == 0
     docs, truth = generate_zipf_docs(2, seed=3)
     assert len(docs) == 2 and len(truth) == 1
+
+
+def test_leakage_safe_split_cluster_coherent(spark, images_df):
+    """Every member of a cluster gets the SAME split (the leakage
+    guarantee), singletons are their own cluster, the train fraction
+    lands near frac_train, assignment is deterministic, and salt
+    re-deals it without touching membership."""
+    import hashlib
+
+    from deduplication_and_compression_spark.operators.assign import (
+        leakage_safe_split,
+    )
+    from deduplication_and_compression_spark.operators.components import (
+        connected_components,
+    )
+    from deduplication_and_compression_spark.operators.exact import exact_pairs
+
+    pairs = exact_pairs(images_df)
+    labels = connected_components(pairs.select("a", "b"))
+    asg = assignments_from_labels(images_df, labels)
+    out = leakage_safe_split(asg, frac_train=0.9).toPandas()
+
+    assert len(out) == images_df.count()
+    # cluster coherence: one split value per cluster_id
+    per_cluster = out.groupby("cluster_id")["split"].nunique()
+    assert (per_cluster == 1).all()
+    # fraction lands near 0.9 at cluster granularity (binomial over
+    # ~independent 60-bit hashes; ±6% is ~4 sigma at this n)
+    frac = (out["split"] == "train").mean()
+    assert 0.84 < frac < 0.96, frac
+    # deterministic: bucket is exactly the md5-prefix rule
+    row = out.iloc[0]
+    want = int(hashlib.md5(row["cluster_id"].encode()).hexdigest()[:15], 16) % 10000
+    assert int(row["split_bucket"]) == want
+    # re-run identical; salted run differs somewhere but keeps coherence
+    again = leakage_safe_split(asg, frac_train=0.9).toPandas()
+    assert out.sort_values("image_id").reset_index(drop=True).equals(
+        again.sort_values("image_id").reset_index(drop=True))
+    salted = leakage_safe_split(asg, frac_train=0.9, salt="s1").toPandas()
+    assert (salted.groupby("cluster_id")["split"].nunique() == 1).all()
+    merged = out.merge(salted, on="image_id", suffixes=("", "_s"))
+    assert (merged["split_bucket"] != merged["split_bucket_s"]).any()

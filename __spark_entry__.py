@@ -93,6 +93,10 @@ def _q_token_counts(spark, sf):
     return textops.token_counts(_docs(spark, sf))
 
 
+def _q_heavy_hitters(spark, sf):
+    return textops.token_heavy_hitters(_docs(spark, sf), k=50)
+
+
 def _q_quality(spark, sf):
     return textops.quality_scores(_docs(spark, sf))
 
@@ -461,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_docs": _q_exact_dedup,
         "token_counts_docs": _q_token_counts,
+        "token_heavy_hitters_docs": _q_heavy_hitters,
         "quality_scores_docs": _q_quality,
         "lang_id_docs": _q_lang,
         "doc_fingerprints": _q_fp,
@@ -1217,6 +1222,18 @@ def oracle_sql() -> dict[str, str]:
                    len(list_distinct({_TOKS})) AS n_distinct_tokens,
                    len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS n_pieces
             FROM documents
+        """,
+        "token_heavy_hitters_docs": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+            pd AS (
+              SELECT token, doc_id, count(*) AS c FROM tok
+              WHERE length(token) > 0 GROUP BY 1, 2)
+            SELECT token,
+                   CAST(sum(c) AS BIGINT) AS occurrences,
+                   CAST(count(*) AS BIGINT) AS doc_freq
+            FROM pd GROUP BY token
+            ORDER BY occurrences DESC, token ASC LIMIT 50
         """,
         "quality_scores_docs": f"""
             WITH c AS (

@@ -108,6 +108,36 @@ def doc_fingerprints(df: DataFrame) -> DataFrame:
     return df.select("doc_id", F.sha2(F.encode(norm, "UTF-8"), 256).alias("fp"))
 
 
+def token_heavy_hitters(df: DataFrame, k: int = 50) -> DataFrame:
+    """Top-k most frequent whitespace tokens across the corpus:
+    (token, occurrences, doc_freq), ordered count DESC then token ASC
+    so ties are deterministic.  The vocabulary/stopword-list builder of
+    a training-data pipeline.
+
+    Scale shape: doc_freq comes from a (token, doc_id) partial
+    aggregation feeding a second token-keyed aggregation — NOT a
+    count-distinct (whose expand doubles shuffle volume); the second
+    groupBy reuses the token hash partitioning, and the final top-k is
+    a TakeOrderedAndProject (per-partition heads merged once), never a
+    global sort.
+    """
+    per_doc = (
+        df.select("doc_id", F.explode(_tokens()).alias("token"))
+        .where(F.length("token") > 0)
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.sum("c").cast("long").alias("occurrences"),
+            F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        )
+        .orderBy(F.col("occurrences").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
 def word_bigrams(df: DataFrame) -> DataFrame:
     """(doc_id, bigram) distinct word bigrams — shingling at word
     granularity (the reference's chunking analog at

@@ -164,3 +164,34 @@ def test_jaccard_plan_pick_per_regime():
     # unknown volume: fall back to the vocab-vs-corpus discriminator
     assert choose_jaccard_plan(240_000, 30_000) == "ppjoin"
     assert choose_jaccard_plan(931, 5000) == "allpairs"
+
+
+def test_token_heavy_hitters_semantics_and_plan(spark):
+    """Deterministic top-k: occurrences DESC then token ASC; doc_freq
+    counts documents, not occurrences; null/empty texts contribute
+    nothing; and the final k is a TakeOrderedAndProject (per-partition
+    heads), never a global Sort."""
+    import io
+    from contextlib import redirect_stdout
+
+    import pandas as pd
+
+    from deduplication_and_compression_spark.operators.textops import (
+        token_heavy_hitters,
+    )
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b a", "a c", None, "   "],
+    }))
+    out = token_heavy_hitters(df, k=2)
+    got = out.toPandas()
+    assert list(got.itertuples(index=False, name=None)) == [
+        ("a", 3, 2),  # 2 occurrences in doc 1 + 1 in doc 2; 2 docs
+        ("b", 1, 1),  # ties with c at 1; 'b' < 'c' wins the cut
+    ]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain()
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan, plan

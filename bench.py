@@ -152,6 +152,8 @@ def main() -> None:
             "srp_topk_embeddings",
             "ivf_topk_embeddings",
             "ivf_pq_topk_embeddings",
+            "token_heavy_hitters_docs",
+            "train_val_split_docs",
         ):
             timed(name, lambda name=name: qs[name](spark, sf_dir).count())
 

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from deduplication_and_compression_spark.config import DEFAULT_CONFIG as CFG
 from deduplication_and_compression_spark.operators import textops
 from deduplication_and_compression_spark.operators.assign import (
-    assignments_from_labels, leakage_safe_split,
+    assignments_from_labels, elect_representatives, leakage_safe_split,
 )
 from deduplication_and_compression_spark.operators.components import (
     connected_components,
@@ -194,6 +194,19 @@ def _q_train_val_split(spark, sf):
     labels = connected_components(pairs.select("a", "b"), CFG)
     asg = assignments_from_labels(docs, labels, id_col="doc_id")
     return leakage_safe_split(asg, frac_train=0.9, id_col="doc_id")
+
+
+def _q_quality_reps(spark, sf):
+    """Quality-aware rep election over the bigram near-dup graph: each
+    cluster keeps its highest-quality member (min-id on ties), the
+    "keep the best duplicate" policy."""
+    docs = _docs(spark, sf)
+    pairs = _bigram_pairs(spark, sf)
+    labels = connected_components(pairs.select("a", "b"), CFG)
+    asg = assignments_from_labels(docs, labels, id_col="doc_id")
+    scores = textops.quality_scores(docs).select("doc_id", "quality_bp")
+    return elect_representatives(asg, scores, id_col="doc_id",
+                                 score_col="quality_bp")
 
 
 def _q_cluster_savings(spark, sf):
@@ -474,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lgram_substring_pairs": _q_lgram_substring,
         "cc_bigram_clusters": _q_cc_clusters,
         "train_val_split_docs": _q_train_val_split,
+        "quality_rep_election_docs": _q_quality_reps,
         "cluster_savings_docs": _q_cluster_savings,
         "cosine_neighbor_stats": _q_cosine_stats,
         "brute_topk_embeddings": _q_brute_topk,
@@ -1296,6 +1310,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cluster_id, split_bucket,
                    CASE WHEN split_bucket < 9000 THEN 'train' ELSE 'val' END AS split
             FROM bk
+        """,
+        # quality formula duplicated from quality_scores_docs (the
+        # shared-corpus hash gate on BOTH rows catches divergence);
+        # NULL-safe best-score match mirrors eqNullSafe
+        "quality_rep_election_docs": f"""
+            WITH RECURSIVE {_CC_CTE},
+            q AS (
+              SELECT doc_id,
+                     CAST(floor(least(1.0, n_tok / 100.0) * (1.0 - n_stop / n_tok)
+                                * (n_dis / n_tok) * 10000.0) AS BIGINT) AS quality_bp
+              FROM (
+                SELECT doc_id, CAST(len({_TOKS}) AS DOUBLE) AS n_tok,
+                       CAST(len(list_filter({_TOKS}, w -> w IN {_STOP_SQL})) AS DOUBLE) AS n_stop,
+                       CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS n_dis
+                FROM documents)),
+            asg AS (
+              SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
+            jq AS (
+              SELECT a.doc_id, a.cluster_id, q.quality_bp
+              FROM asg a JOIN q ON a.doc_id = q.doc_id),
+            rep AS (
+              SELECT jq.cluster_id, min(jq.doc_id) AS rep_id
+              FROM jq JOIN (
+                SELECT cluster_id, max(quality_bp) AS b FROM jq GROUP BY 1) m
+                ON jq.cluster_id = m.cluster_id
+               AND jq.quality_bp IS NOT DISTINCT FROM m.b
+              GROUP BY 1)
+            SELECT a.doc_id, a.cluster_id,
+                   coalesce(r.rep_id, a.doc_id) AS rep_id,
+                   a.doc_id <> coalesce(r.rep_id, a.doc_id) AS is_duplicate
+            FROM asg a LEFT JOIN rep r ON a.cluster_id = r.cluster_id
         """,
         "cluster_savings_docs": f"""
             WITH RECURSIVE {_CC_CTE},

@@ -85,6 +85,48 @@ def leakage_safe_split(
     )
 
 
+def elect_representatives(
+    assignments: DataFrame,
+    scores: DataFrame,
+    id_col: str = "image_id",
+    score_col: str = "quality_bp",
+) -> DataFrame:
+    """Score-aware representative election: for each cluster keep the
+    member with the HIGHEST score (ties and all-null clusters fall back
+    to min id) — "keep the best document of each duplicate group", the
+    rep policy a training-data pipeline wants when members differ in
+    quality, vs the reference's first-occurrence rule that
+    assignments_from_labels mirrors.
+
+    Scale shape: an id-keyed join (scores onto assignments), a
+    cluster-keyed partial-agg max, an equi-join + min-id partial agg
+    for the winner, and a final cluster-keyed join-back — every shuffle
+    is keyed and combiner-friendly, no window over the corpus.  The
+    score equality join is NULL-SAFE so clusters whose scores are all
+    null elect min-id instead of electing nobody.
+
+    Emits (id_col, cluster_id, rep_id, is_duplicate).
+    """
+    base = assignments.select(id_col, "cluster_id")
+    j = base.join(scores.select(id_col, score_col), id_col)
+    best = j.groupBy("cluster_id").agg(F.max(score_col).alias("_best"))
+    reps = (
+        j.join(best, "cluster_id")
+        .where(F.col(score_col).eqNullSafe(F.col("_best")))
+        .groupBy("cluster_id")
+        .agg(F.min(id_col).alias("rep_id"))
+    )
+    return (
+        base.join(reps, "cluster_id", "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce("rep_id", F.col(id_col)).alias("rep_id"),
+            (F.col(id_col) != F.coalesce("rep_id", F.col(id_col))).alias("is_duplicate"),
+        )
+    )
+
+
 def payload_bytes(df: DataFrame) -> DataFrame:
     """(image_id, payload_bytes) = encoded image bytes + caption bytes."""
     return df.select(

@@ -164,3 +164,32 @@ def test_leakage_safe_split_cluster_coherent(spark, images_df):
     assert (salted.groupby("cluster_id")["split"].nunique() == 1).all()
     merged = out.merge(salted, on="image_id", suffixes=("", "_s"))
     assert (merged["split_bucket"] != merged["split_bucket_s"]).any()
+
+
+def test_elect_representatives_policy(spark):
+    """Highest score wins; ties and all-null-score clusters fall back
+    to min id; singletons rep themselves; output covers every row."""
+    import pandas as pd
+
+    from deduplication_and_compression_spark.operators.assign import (
+        elect_representatives,
+    )
+
+    asg = spark.createDataFrame(pd.DataFrame({
+        "doc_id":     ["a1", "a2", "a3", "b1", "b2", "c1", "c2", "s1"],
+        "cluster_id": ["a1", "a1", "a1", "b1", "b1", "c1", "c1", "s1"],
+    }))
+    scores = spark.createDataFrame(
+        [("a1", 10), ("a2", 99), ("a3", 99),   # tie at 99 -> min id a2
+         ("b1", None), ("b2", None),           # all-null -> min id b1
+         ("c1", 5), ("c2", None),              # null loses to 5 -> c1
+         ("s1", 1)],
+        "doc_id string, quality_bp long",
+    )
+    out = elect_representatives(asg, scores, id_col="doc_id").toPandas()
+    rep = dict(zip(out["doc_id"], out["rep_id"]))
+    assert rep == {"a1": "a2", "a2": "a2", "a3": "a2",
+                   "b1": "b1", "b2": "b1",
+                   "c1": "c1", "c2": "c1", "s1": "s1"}
+    dup = dict(zip(out["doc_id"], out["is_duplicate"]))
+    assert dup == {d: (d != r) for d, r in rep.items()}

@@ -4,6 +4,8 @@
     spark-submit --py-files pkg.zip main.py \
         --input <images table/path> --output <dir> \
         [--tiers exact,minhash,simhash,substring] [--no-resume]
+    # text corpora (any read_documents format):
+    ... --mode docs --format json [--rep-policy quality] [--emit-split 0.9]
 
 Replaces the reference's CLI (-b blocksize -f filename,
 /root/reference/Server/encoder.cpp:492-511) with the batch analog:
@@ -34,6 +36,16 @@ def parse_args(argv=None):
     p.add_argument("--tiers", default="exact,minhash,simhash,substring")
     p.add_argument("--format", default="parquet",
                    help="docs mode input format: parquet|orc|json|csv|text")
+    p.add_argument("--emit-split", type=float, default=None, dest="emit_split",
+                   metavar="FRAC",
+                   help="docs mode: also write a leakage-safe train/val "
+                        "split table (train fraction FRAC; every member "
+                        "of a near-dup cluster shares a split)")
+    p.add_argument("--rep-policy", choices=("first", "quality"),
+                   default="first", dest="rep_policy",
+                   help="docs mode: cluster representative election — "
+                        "'first' keeps the min doc_id, 'quality' keeps "
+                        "the highest-quality member (min id on ties)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--cores", type=int, default=None, help="local[N] cores (omit on a cluster)")
     return p.parse_args(argv)
@@ -81,8 +93,35 @@ def run_docs_mode(spark, args) -> dict:
         ).select("a", "b")
         labels = connected_components(pairs, DEFAULT_CONFIG)
         asg = assignments_from_labels(docs, labels, id_col="doc_id")
+        if args.rep_policy == "quality":
+            from deduplication_and_compression_spark.operators.assign import (
+                elect_representatives,
+            )
+            from deduplication_and_compression_spark.operators.textops import (
+                quality_scores,
+            )
+
+            scores = quality_scores(docs).select("doc_id", "quality_bp")
+            asg = elect_representatives(
+                asg, scores, id_col="doc_id", score_col="quality_bp"
+            ).withColumnRenamed("rep_id", "representative_id")
         asg.write.mode("overwrite").parquet(str(out / "assignments"))
         asg = spark.read.parquet(str(out / "assignments"))
+        split_counts = None
+        if args.emit_split is not None:
+            from deduplication_and_compression_spark.operators.assign import (
+                leakage_safe_split,
+            )
+
+            split = leakage_safe_split(
+                asg, frac_train=args.emit_split, id_col="doc_id"
+            )
+            split.write.mode("overwrite").parquet(str(out / "split"))
+            split_counts = {
+                r["split"]: r["n"]
+                for r in spark.read.parquet(str(out / "split"))
+                .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
         stats = (
             asg.join(docs.select("doc_id", "n_chars"), "doc_id")
             .agg(
@@ -97,13 +136,17 @@ def run_docs_mode(spark, args) -> dict:
     # sums are NULL on an empty corpus — report zeros, not a TypeError
     chars_total = int(stats["chars_total"] or 0)
     chars_saved = int(stats["chars_dupes"] or 0)
-    return {
+    report = {
         "rows_total": stats["rows_total"],
         "rows_unique": int(stats["rows_unique"] or 0),
         "chars_total": chars_total,
         "chars_saved": chars_saved,
         "dedup_pct": round(100.0 * chars_saved / max(1, chars_total), 3),
     }
+    if split_counts is not None:
+        report["split_train"] = int(split_counts.get("train", 0))
+        report["split_val"] = int(split_counts.get("val", 0))
+    return report
 
 
 def main(argv=None) -> None:
@@ -129,6 +172,12 @@ def main(argv=None) -> None:
         report["wall_sec"] = round(time.perf_counter() - t0, 1)
         print(json.dumps(report))
         return
+    # loud rejections (the --no-resume precedent, inverted): these
+    # stages run over the document contract only
+    if args.emit_split is not None:
+        raise ValueError("--emit-split applies to --mode docs only")
+    if args.rep_policy != "first":
+        raise ValueError("--rep-policy applies to --mode docs only")
     images = read_table(spark, args.input)
     t0 = time.perf_counter()
     res = run_pipeline(

@@ -131,3 +131,44 @@ def test_cli_docs_mode_empty_corpus_and_flag_rejection(spark, tmp_path, capsys):
     with pytest.raises(ValueError, match="--no-resume applies"):
         cli.main(["--mode", "docs", "--input", str(src), "--format", "text",
                   "--output", str(tmp_path / "eo3"), "--no-resume"])
+
+
+def test_cli_docs_mode_split_and_quality_reps(spark, tmp_path, capsys):
+    """--emit-split writes a cluster-coherent train/val table and the
+    report carries the counts; --rep-policy quality routes assignments
+    through elect_representatives (this corpus's clusters tie on
+    quality, so min-id breaks them — the policy's semantics incl.
+    non-tie election are covered by test_elect_representatives_policy;
+    here the gate is the CLI wiring and the stable output schema)."""
+    src = _write_docs_corpus(tmp_path)
+    out_dir = tmp_path / "docs_out_split"
+    cli.main([
+        "--mode", "docs",
+        "--input", str(src),
+        "--format", "json",
+        "--output", str(out_dir),
+        "--emit-split", "0.9",
+        "--rep-policy", "quality",
+    ])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["rows_total"] == 4
+    assert report["split_train"] + report["split_val"] == 4
+    split = spark.read.parquet(str(out_dir / "split")).toPandas()
+    assert (split.groupby("cluster_id")["split"].nunique() == 1).all()
+    asg = spark.read.parquet(str(out_dir / "assignments")).toPandas()
+    rep = dict(zip(asg["doc_id"], asg["representative_id"]))
+    # cluster {2,4}: identical texts tie on quality -> min id 2
+    assert rep[2] == rep[4] == 2
+    # cluster {1,3}: same rep for both members, elected by quality
+    assert rep[1] == rep[3] and rep[1] in (1, 3)
+
+
+def test_cli_split_flags_rejected_in_images_mode(spark, tmp_path):
+    img_path, _ = write_fixture(tmp_path / "fx_rej", 50, seed=13)
+    for extra in (["--emit-split", "0.9"], ["--rep-policy", "quality"]):
+        with pytest.raises(ValueError, match="docs only"):
+            cli.main([
+                "--input", str(img_path),
+                "--output", str(tmp_path / "out_rej"),
+                *extra,
+            ])

@@ -193,3 +193,27 @@ def test_elect_representatives_policy(spark):
                    "c1": "c1", "c2": "c1", "s1": "s1"}
     dup = dict(zip(out["doc_id"], out["is_duplicate"]))
     assert dup == {d: (d != r) for d, r in rep.items()}
+
+
+def test_split_and_election_plan_shapes(spark):
+    """The docstring scale claims as plan gates: leakage_safe_split
+    adds NO exchange (pure per-row map over the input partitioning);
+    elect_representatives plans keyed joins + partial aggs — no Window
+    over the corpus, no cartesian product."""
+    import pandas as pd
+
+    from deduplication_and_compression_spark.operators.assign import (
+        elect_representatives, leakage_safe_split,
+    )
+
+    asg = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": ["a"], "cluster_id": ["a"]}))
+    scores = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": ["a"], "quality_bp": [1]}))
+    split_plan = (leakage_safe_split(asg, id_col="doc_id")
+                  ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in split_plan, split_plan
+    elect_plan = (elect_representatives(asg, scores, id_col="doc_id")
+                  ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in elect_plan, elect_plan
+    assert "Cartesian" not in elect_plan, elect_plan

@@ -152,6 +152,9 @@ def main() -> None:
             "srp_topk_embeddings",
             "ivf_topk_embeddings",
             "ivf_pq_topk_embeddings",
+            # r6 additions (~4-5s combined at sf0.1): suite `value` is
+            # not directly comparable to r5's — compare per-query or
+            # the shared-subset sum
             "token_heavy_hitters_docs",
             "train_val_split_docs",
         ):

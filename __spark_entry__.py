@@ -97,6 +97,10 @@ def _q_heavy_hitters(spark, sf):
     return textops.token_heavy_hitters(_docs(spark, sf), k=50)
 
 
+def _q_pii_scrub(spark, sf):
+    return textops.scrub_pii(_docs(spark, sf))
+
+
 def _q_quality(spark, sf):
     return textops.quality_scores(_docs(spark, sf))
 
@@ -479,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": _q_exact_dedup,
         "token_counts_docs": _q_token_counts,
         "token_heavy_hitters_docs": _q_heavy_hitters,
+        "pii_scrub_docs": _q_pii_scrub,
         "quality_scores_docs": _q_quality,
         "lang_id_docs": _q_lang,
         "doc_fingerprints": _q_fp,
@@ -1237,6 +1242,20 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS n_pieces
             FROM documents
         """,
+        # PII patterns imported from textops so operator and twin can
+        # never drift; DuckDB RE2 verified byte-identical to Java regex
+        # on this pattern subset (no lookaround, explicit [0-9])
+        "pii_scrub_docs": """
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{em}', '[EMAIL]', 'g'), '{ip}', '[IP]', 'g'),
+                       '{ph}', '[PHONE]', 'g') AS text_clean,
+                   len(regexp_extract_all(text, '{em}'))::INT AS n_emails,
+                   len(regexp_extract_all(text, '{ip}'))::INT AS n_ips,
+                   len(regexp_extract_all(text, '{ph}'))::INT AS n_phones
+            FROM documents
+        """.format(em=textops.PII_EMAIL, ip=textops.PII_IPV4,
+                   ph=textops.PII_PHONE),
         "token_heavy_hitters_docs": f"""
             WITH tok AS (
               SELECT doc_id, unnest({_TOKS}) AS token FROM documents),

@@ -138,6 +138,38 @@ def token_heavy_hitters(df: DataFrame, k: int = 50) -> DataFrame:
     )
 
 
+# PII patterns shared by the operator and the DuckDB oracle twin —
+# RE2-safe subset (no lookaround, explicit [0-9], \b word boundaries),
+# verified byte-identical between Java regex and DuckDB RE2 on nulls,
+# nested dots, over-long IPs and mixed-pattern lines
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+
+
+def scrub_pii(df: DataFrame) -> DataFrame:
+    """(doc_id, text_clean, n_emails, n_ips, n_phones): replace emails,
+    dotted-quad IPs and NNN-NNN-NNNN phone shapes with [EMAIL]/[IP]/
+    [PHONE] placeholder tokens, counting each — the pre-training PII
+    redaction stage of a corpus pipeline.  Applied in a fixed order
+    (email → ip → phone) so a string matched by an earlier pass can
+    never double-count in a later one; null text stays null.
+
+    Scale: pure JVM regexp_replace/regexp_count inside whole-stage
+    codegen — per-row map, no shuffle, no Python."""
+    clean = F.col("text")
+    for pat, tok in ((PII_EMAIL, "[EMAIL]"), (PII_IPV4, "[IP]"),
+                     (PII_PHONE, "[PHONE]")):
+        clean = F.regexp_replace(clean, pat, tok)
+    return df.select(
+        "doc_id",
+        clean.alias("text_clean"),
+        F.regexp_count("text", F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_IPV4)).alias("n_ips"),
+        F.regexp_count("text", F.lit(PII_PHONE)).alias("n_phones"),
+    )
+
+
 def word_bigrams(df: DataFrame) -> DataFrame:
     """(doc_id, bigram) distinct word bigrams — shingling at word
     granularity (the reference's chunking analog at

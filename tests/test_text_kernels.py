@@ -195,3 +195,31 @@ def test_token_heavy_hitters_semantics_and_plan(spark):
         out.explain()
     plan = buf.getvalue()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_scrub_pii_semantics(spark):
+    """Emails, dotted-quad IPs and phone shapes are replaced by
+    placeholder tokens and counted; clean text is untouched; null text
+    stays null with null counts."""
+    import pandas as pd
+
+    from deduplication_and_compression_spark.operators.textops import scrub_pii
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "mail a.b+c@ex-ample.co.uk or ping 10.0.0.1 now",
+            "call 555-123-4567 then 1.2.3.4 and foo@bar.io",
+            "no pii here just words 123 45.6",
+            None,
+        ],
+    }))
+    out = scrub_pii(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "text_clean"] == "mail [EMAIL] or ping [IP] now"
+    assert out.loc[2, "text_clean"] == "call [PHONE] then [IP] and [EMAIL]"
+    assert out.loc[3, "text_clean"] == "no pii here just words 123 45.6"
+    assert pd.isna(out.loc[4, "text_clean"])
+    assert (int(out.loc[1, "n_emails"]), int(out.loc[1, "n_ips"]),
+            int(out.loc[2, "n_phones"])) == (1, 1, 1)
+    assert (out.loc[3, ["n_emails", "n_ips", "n_phones"]] == 0).all()
+    assert out.loc[4, ["n_emails", "n_ips", "n_phones"]].isna().all()

@@ -167,6 +167,18 @@ def _bigram_pairs(spark, sf):
     )
 
 
+def _cc_labels(spark, sf):
+    """Memoized connected-components labels over the verified bigram
+    pair table: four contract rows (clusters, train/val split, quality
+    reps, savings) consume the SAME labels, and the iterative CC pass
+    previously re-ran once per row (r6 code review)."""
+    return _memo_query(
+        spark, sf, "cc_labels",
+        lambda: connected_components(
+            _bigram_pairs(spark, sf).select("a", "b"), CFG),
+    )
+
+
 def _q_bigram_jaccard(spark, sf):
     # cost-based plan pick (allpairs on this tiny-vocab corpus,
     # prefix-filtered PPJoin on Zipfian text) — both oracled against
@@ -183,8 +195,7 @@ def _q_lgram_substring(spark, sf):
 
 
 def _q_cc_clusters(spark, sf):
-    pairs = _bigram_pairs(spark, sf)
-    labels = connected_components(pairs.select("a", "b"), CFG)
+    labels = _cc_labels(spark, sf)
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
@@ -194,9 +205,8 @@ def _q_train_val_split(spark, sf):
     own cluster, split decided by md5(cluster_id) bucket — so near-dup
     documents always share a split (Lee et al. ACL'22 §6)."""
     docs = _docs(spark, sf)
-    pairs = _bigram_pairs(spark, sf)
-    labels = connected_components(pairs.select("a", "b"), CFG)
-    asg = assignments_from_labels(docs, labels, id_col="doc_id")
+    asg = assignments_from_labels(docs, _cc_labels(spark, sf),
+                                  id_col="doc_id")
     return leakage_safe_split(asg, frac_train=0.9, id_col="doc_id")
 
 
@@ -205,9 +215,8 @@ def _q_quality_reps(spark, sf):
     cluster keeps its highest-quality member (min-id on ties), the
     "keep the best duplicate" policy."""
     docs = _docs(spark, sf)
-    pairs = _bigram_pairs(spark, sf)
-    labels = connected_components(pairs.select("a", "b"), CFG)
-    asg = assignments_from_labels(docs, labels, id_col="doc_id")
+    asg = assignments_from_labels(docs, _cc_labels(spark, sf),
+                                  id_col="doc_id")
     scores = textops.quality_scores(docs).select("doc_id", "quality_bp")
     return elect_representatives(asg, scores, id_col="doc_id",
                                  score_col="quality_bp")
@@ -215,9 +224,8 @@ def _q_quality_reps(spark, sf):
 
 def _q_cluster_savings(spark, sf):
     docs = _docs(spark, sf)
-    pairs = _bigram_pairs(spark, sf)
-    labels = connected_components(pairs.select("a", "b"), CFG)
-    asg = assignments_from_labels(docs, labels, id_col="doc_id")
+    asg = assignments_from_labels(docs, _cc_labels(spark, sf),
+                                  id_col="doc_id")
     joined = asg.join(docs.select("doc_id", "n_chars"), "doc_id")
     return (
         joined.groupBy("cluster_id")
@@ -1245,15 +1253,25 @@ def oracle_sql() -> dict[str, str]:
         # PII patterns imported from textops so operator and twin can
         # never drift; DuckDB RE2 verified byte-identical to Java regex
         # on this pattern subset (no lookaround, explicit [0-9])
+        # staged counts mirror the operator: each pattern is counted on
+        # the text already scrubbed by the earlier passes, so counts
+        # reconcile with the placeholders (overlaps never double-count)
         "pii_scrub_docs": """
+            WITH s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '{em}'))::INT AS n_emails,
+                     regexp_replace(text, '{em}', '[EMAIL]', 'g') AS t
+              FROM documents),
+            s2 AS (
+              SELECT doc_id, n_emails,
+                     len(regexp_extract_all(t, '{ip}'))::INT AS n_ips,
+                     regexp_replace(t, '{ip}', '[IP]', 'g') AS t
+              FROM s1)
             SELECT doc_id,
-                   regexp_replace(regexp_replace(regexp_replace(text,
-                       '{em}', '[EMAIL]', 'g'), '{ip}', '[IP]', 'g'),
-                       '{ph}', '[PHONE]', 'g') AS text_clean,
-                   len(regexp_extract_all(text, '{em}'))::INT AS n_emails,
-                   len(regexp_extract_all(text, '{ip}'))::INT AS n_ips,
-                   len(regexp_extract_all(text, '{ph}'))::INT AS n_phones
-            FROM documents
+                   regexp_replace(t, '{ph}', '[PHONE]', 'g') AS text_clean,
+                   n_emails, n_ips,
+                   len(regexp_extract_all(t, '{ph}'))::INT AS n_phones
+            FROM s2
         """.format(em=textops.PII_EMAIL, ip=textops.PII_IPV4,
                    ph=textops.PII_PHONE),
         "token_heavy_hitters_docs": f"""

@@ -102,13 +102,16 @@ def elect_representatives(
     cluster-keyed partial-agg max, an equi-join + min-id partial agg
     for the winner, and a final cluster-keyed join-back — every shuffle
     is keyed and combiner-friendly, no window over the corpus.  The
-    score equality join is NULL-SAFE so clusters whose scores are all
-    null elect min-id instead of electing nobody.
+    scores join is LEFT (a member missing a score row behaves like a
+    null score rather than silently dropping out of the election — r6
+    code review) and the score equality join is NULL-SAFE, so clusters
+    whose scores are all null or all missing elect min-id instead of
+    electing nobody.
 
     Emits (id_col, cluster_id, rep_id, is_duplicate).
     """
     base = assignments.select(id_col, "cluster_id")
-    j = base.join(scores.select(id_col, score_col), id_col)
+    j = base.join(scores.select(id_col, score_col), id_col, "left")
     best = j.groupBy("cluster_id").agg(F.max(score_col).alias("_best"))
     reps = (
         j.join(best, "cluster_id")

@@ -151,23 +151,25 @@ def scrub_pii(df: DataFrame) -> DataFrame:
     """(doc_id, text_clean, n_emails, n_ips, n_phones): replace emails,
     dotted-quad IPs and NNN-NNN-NNNN phone shapes with [EMAIL]/[IP]/
     [PHONE] placeholder tokens, counting each — the pre-training PII
-    redaction stage of a corpus pipeline.  Applied in a fixed order
-    (email → ip → phone) so a string matched by an earlier pass can
-    never double-count in a later one; null text stays null.
+    redaction stage of a corpus pipeline.  Replacement runs in a fixed
+    order (email → ip → phone) and each count is taken on the text AS
+    ALREADY SCRUBBED by the earlier passes, so counts reconcile exactly
+    with the placeholders in text_clean: an IP inside an email
+    ('admin@10.0.0.1.com') is one email and ZERO ips (r6 code-review —
+    counting every pattern on the raw text double-counted overlaps).
+    The placeholder tokens contain no digits, so a replacement can
+    never manufacture a later-pass match.  Null text stays null.
 
     Scale: pure JVM regexp_replace/regexp_count inside whole-stage
     codegen — per-row map, no shuffle, no Python."""
-    clean = F.col("text")
-    for pat, tok in ((PII_EMAIL, "[EMAIL]"), (PII_IPV4, "[IP]"),
-                     (PII_PHONE, "[PHONE]")):
-        clean = F.regexp_replace(clean, pat, tok)
-    return df.select(
-        "doc_id",
-        clean.alias("text_clean"),
-        F.regexp_count("text", F.lit(PII_EMAIL)).alias("n_emails"),
-        F.regexp_count("text", F.lit(PII_IPV4)).alias("n_ips"),
-        F.regexp_count("text", F.lit(PII_PHONE)).alias("n_phones"),
-    )
+    stage = F.col("text")
+    counts = []
+    for pat, tok, name in ((PII_EMAIL, "[EMAIL]", "n_emails"),
+                           (PII_IPV4, "[IP]", "n_ips"),
+                           (PII_PHONE, "[PHONE]", "n_phones")):
+        counts.append(F.regexp_count(stage, F.lit(pat)).alias(name))
+        stage = F.regexp_replace(stage, pat, tok)
+    return df.select("doc_id", stage.alias("text_clean"), *counts)
 
 
 def word_bigrams(df: DataFrame) -> DataFrame:

@@ -36,7 +36,14 @@ def parse_args(argv=None):
     p.add_argument("--tiers", default="exact,minhash,simhash,substring")
     p.add_argument("--format", default="parquet",
                    help="docs mode input format: parquet|orc|json|csv|text")
-    p.add_argument("--emit-split", type=float, default=None, dest="emit_split",
+    def _frac(v: str) -> float:
+        f = float(v)
+        if not 0.0 < f < 1.0:
+            raise argparse.ArgumentTypeError(
+                f"train fraction must be in (0,1), got {v}")
+        return f
+
+    p.add_argument("--emit-split", type=_frac, default=None, dest="emit_split",
                    metavar="FRAC",
                    help="docs mode: also write a leakage-safe train/val "
                         "split table (train fraction FRAC; every member "

@@ -215,6 +215,7 @@ def test_srp_probe_radius_2_matches_oracle(spark, ddb):
 
 @pytest.mark.parametrize("name,call", [
     ("bigram_pairs", lambda s, d: entrymod._bigram_pairs(s, d)),
+    ("cc_labels", lambda s, d: entrymod._cc_labels(s, d)),
     ("screen_near_dups", lambda s, d: entrymod._q_screen_near_dups(s, d)),
     ("screen_batch_near_dups",
      lambda s, d: entrymod._q_screen_batch_near_dups(s, d)),

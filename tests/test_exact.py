@@ -181,7 +181,9 @@ def test_elect_representatives_policy(spark):
     }))
     scores = spark.createDataFrame(
         [("a1", 10), ("a2", 99), ("a3", 99),   # tie at 99 -> min id a2
-         ("b1", None), ("b2", None),           # all-null -> min id b1
+         ("b1", None),                         # b2's row MISSING: the
+         # left join makes it behave like a null score (r6 review) —
+         # all-null/missing cluster b -> min id b1
          ("c1", 5), ("c2", None),              # null loses to 5 -> c1
          ("s1", 1)],
         "doc_id string, quality_bp long",

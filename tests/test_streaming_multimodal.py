@@ -465,6 +465,7 @@ def test_screen_batch_keys_only_measured_shuffle_bytes(spark, cfg, images_df):
     batch = ref.where(F.pmod(F.xxhash64("image_id"), F.lit(5)) == 0)
     ref_side = build_screen_reference(ref, cfg)
     ref_side.base.persist()
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         ref_side.base.count()  # static side built outside both regions
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -490,6 +491,6 @@ def test_screen_batch_keys_only_measured_shuffle_bytes(spark, cfg, images_df):
         # production-size ratio)
         assert full_bytes > 2 * keys_bytes, (keys_bytes, full_bytes)
     finally:
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # restore the PRIOR value, not a duplicated constant (r6 review)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
         ref_side.base.unpersist()

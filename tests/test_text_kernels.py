@@ -206,15 +206,20 @@ def test_scrub_pii_semantics(spark):
     from deduplication_and_compression_spark.operators.textops import scrub_pii
 
     df = spark.createDataFrame(pd.DataFrame({
-        "doc_id": [1, 2, 3, 4],
+        "doc_id": [1, 2, 3, 4, 5],
         "text": [
             "mail a.b+c@ex-ample.co.uk or ping 10.0.0.1 now",
             "call 555-123-4567 then 1.2.3.4 and foo@bar.io",
             "no pii here just words 123 45.6",
             None,
+            "write admin@10.0.0.1.com for access",  # IP inside an email
         ],
     }))
     out = scrub_pii(df).toPandas().set_index("doc_id")
+    # overlap: one [EMAIL] placeholder, and the counts reconcile —
+    # the inner IP must NOT also count (r6 code-review fix)
+    assert out.loc[5, "text_clean"] == "write [EMAIL] for access"
+    assert (int(out.loc[5, "n_emails"]), int(out.loc[5, "n_ips"])) == (1, 0)
     assert out.loc[1, "text_clean"] == "mail [EMAIL] or ping [IP] now"
     assert out.loc[2, "text_clean"] == "call [PHONE] then [IP] and [EMAIL]"
     assert out.loc[3, "text_clean"] == "no pii here just words 123 45.6"

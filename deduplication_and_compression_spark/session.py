@@ -40,6 +40,18 @@ def build_session(
         # local[32]).  The one pathological tiny-shuffle case, the CC
         # rounds, sizes its own shuffle partitions instead.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # coalesce floor: pair-scoring shuffles compress to a few MB
+        # but carry seconds of CPU per MB (candidate pairs are two
+        # longs that fan out into vector/array work downstream), and
+        # the default 1m floor collapsed them to ~10 tasks at
+        # local[32] (srp_topk re-rank: 15 s CPU on 10 tasks).  64k
+        # keeps CPU-dense small shuffles wide; measured neutral on
+        # genuinely tiny shuffles and -10..-25% on srp/minhash/ppjoin/
+        # cc (OPTIMIZATION_r07.md).  Parameterised for cluster tuning.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")

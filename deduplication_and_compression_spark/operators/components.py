@@ -88,13 +88,22 @@ def connected_components(
     downstream by assignments_from_labels' coalesce).
     """
     spark = edges.sparkSession
+    # LAZY checkpoints throughout (r7): each round previously ran TWO
+    # jobs — an eager localCheckpoint materialization plus the
+    # convergence checksum over the same rows.  With eager=False the
+    # checksum action materializes (and caches) the round as a side
+    # effect, halving the actions per round; on the small post-collapse
+    # edge tables CC converges over, per-job latency is most of the
+    # round's wall.  The previous round is released only AFTER the
+    # checksum materializes the new one (a truncated-lineage frame
+    # cannot be recomputed, so release order is load-bearing).
     cur = (
         edges.select(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .where(F.col("a") != F.col("b"))
         .dropDuplicates()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # CC rounds shuffle a small edge table many times; running them at
     # the session-wide shuffle parallelism makes per-task overhead scale
@@ -118,15 +127,16 @@ def connected_components(
                 ),
                 cc_parts,
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        # the new round is eagerly materialized and lineage-truncated,
-        # so the previous round's blocks are dead weight — at scale the
-        # old behavior held O(rounds) full edge tables in storage memory
-        # for the whole session (r6 leak-test finding)
+        # the checksum job materializes and lineage-truncates the new
+        # round; only THEN are the previous round's blocks dead weight
+        # and safe to drop — at scale the pre-r6 behavior held
+        # O(rounds) full edge tables in storage memory for the whole
+        # session (r6 leak-test finding)
+        sig = _checksum(cur)
         release_local_checkpoint(prev_cp)
         prev_cp = cur
-        sig = _checksum(cur)
         if sig == prev_sig:
             converged = True
             break

@@ -385,6 +385,12 @@ def estimate_filter(
         candidates.join(s.withColumnRenamed("id", "a").withColumnRenamed("sig", "_sa"), "a")
         .join(s.withColumnRenamed("id", "b").withColumnRenamed("sig", "_sb"), "b")
     )
+    # NOTE (r7): an Arrow-kernel variant of this lane-agreement count
+    # was measured SLOWER than the interpreted JVM fold here — the fold
+    # costs ~13 s CPU across 32 cores (~0.4 s wall), while shipping two
+    # 128-lane arrays per pair through the Python boundary added more
+    # task time than it saved.  The fold stays (guide §1.2: the
+    # distributed shape, not this per-task expression, bounds the wall).
     est = F.aggregate(
         F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
         F.lit(0),

@@ -78,4 +78,54 @@ def build_session(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0":
+        _warmup_async(spark)
+    return spark
+
+
+def _warmup_async(spark: SparkSession) -> None:
+    """Warm the session's execution machinery on a background thread:
+    one ~micro job through each cold path — codegen+shuffle, the
+    Arrow/Python runner (spawns the worker daemon, guide §4.5), and
+    the noop sink.  A fresh JVM otherwise pays JIT + worker spawn
+    inside the FIRST real query (measured: pipeline stage walls
+    7-8 s cold vs 0.7-0.9 s warm per stage shape); a long-lived
+    deployment amortizes this across hours, so a fresh session does
+    it once at build, overlapped with whatever setup the caller runs
+    next (FIFO scheduling: the micro jobs finish before real work
+    queues behind them).  Total work is a few hundred rows — no user
+    data, no caching, nothing a query could reuse as a result.
+    Disable with SPARK_GRAFT_WARMUP=0."""
+    import threading
+
+    def _run() -> None:
+        try:
+            from pyspark import inheritable_thread_target
+            from pyspark.sql import functions as F
+
+            @inheritable_thread_target
+            def _go() -> None:
+                spark.sparkContext.setJobDescription("session warmup")
+                # codegen + shuffle + agg machinery
+                (spark.range(0, 256, 1, 8).repartition(4, "id")
+                 .groupBy((F.col("id") % 7).alias("k")).count()
+                 .write.format("noop").mode("overwrite").save())
+                # Arrow runner + Python worker daemon fork
+                import pandas as pd  # noqa: F401
+                df = spark.range(0, 64, 1, 4)
+
+                def _gen(batches):
+                    for pdf in batches:
+                        yield pdf
+
+                (df.mapInPandas(_gen, df.schema)
+                 .write.format("noop").mode("overwrite").save())
+                spark.sparkContext.setJobDescription(None)
+
+            _go()
+        except Exception:
+            pass  # warmup is best-effort; never break session build
+
+    threading.Thread(target=_run, name="spark-graft-warmup",
+                     daemon=True).start()

@@ -168,6 +168,12 @@ def evict_query_memo(name: str | None = None) -> int:
         except Exception:
             pass  # session may already be stopped
         del _QUERY_MEMO[k]
+    if name is None:
+        # full eviction also drops the input-table PLAN memo, so a
+        # regenerated fixture directory (new part-file listing) or a
+        # stopped session is not pinned forever (r7 code review); the
+        # table memo holds no cached data, only plan objects
+        _TABLE_MEMO.clear()
     return len(hit)
 
 

@@ -67,6 +67,22 @@ def _raw_builders(spark):
     docs = lambda: E._docs(spark, SF_DIR)
     embs = lambda: E._embs(spark, SF_DIR)
 
+    def train_val_raw():
+        # RAW twin of _q_train_val_split: the contract row routes
+        # through _memo_query (by design — bench.py times that), but
+        # this harness must time/plan the actual compute, so the
+        # pair->CC->split chain is rebuilt without the memo layer
+        from deduplication_and_compression_spark.operators.assign import (
+            assignments_from_labels, leakage_safe_split,
+        )
+
+        d = docs()
+        pairs = scoped_persist(
+            textops.bigram_jaccard_pairs_auto(d, threshold_bp=5000))
+        labels = connected_components(pairs.select("a", "b"), CFG)
+        asg = assignments_from_labels(d, labels, id_col="doc_id")
+        return leakage_safe_split(asg, frac_train=0.9, id_col="doc_id")
+
     def simhash_pairs():
         sims = scoped_persist(simhash_from_text(docs()))
         return phash_hamming_pairs(sims, CFG, id_col="id",
@@ -77,7 +93,7 @@ def _raw_builders(spark):
         "exact_dedup_docs": lambda: textops.exact_dedup_docs(docs()),
         "token_heavy_hitters_docs":
             lambda: textops.token_heavy_hitters(docs(), k=50),
-        "train_val_split_docs": lambda: E._q_train_val_split(spark, SF_DIR),
+        "train_val_split_docs": train_val_raw,
         "bigram_jaccard_pairs":
             lambda: textops.bigram_jaccard_pairs_auto(docs(),
                                                       threshold_bp=5000),

@@ -285,17 +285,7 @@ def srp_cosine_pairs(
     )
     # exact re-score in the Arrow pair-cosine kernel (bit-parity with
     # the JVM fold — see _pair_cosine_arrow); same threshold + bp floor
-    vecs = emb.select(F.col(id_col), F.col(vec_col))
-    joined = (
-        cand.join(
-            vecs.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va")),
-            "a",
-        )
-        .join(
-            vecs.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb")),
-            "b",
-        )
-    )
+    joined = _attach_pair_vectors(cand, emb, id_col, vec_col, "a", "b")
     return (
         _pair_cosine_arrow(joined, "a", "b")
         .where(F.col("cos") >= threshold)
@@ -363,6 +353,27 @@ def srp_bucket_topk(
         .dropDuplicates()
     )
     return _cosine_rerank_topk(cand, emb, k, id_col, vec_col)
+
+
+def _attach_pair_vectors(
+    cand: DataFrame, emb: DataFrame, id_col: str, vec_col: str,
+    a_col: str, b_col: str,
+) -> DataFrame:
+    """Attach both sides' vectors (as ``_va``/``_vb``) to (a_col, b_col)
+    pair rows — the shared join shape feeding _pair_cosine_arrow."""
+    vecs = emb.select(F.col(id_col), F.col(vec_col))
+    return (
+        cand.join(
+            vecs.select(F.col(id_col).alias(a_col),
+                        F.col(vec_col).alias("_va")),
+            a_col,
+        )
+        .join(
+            vecs.select(F.col(id_col).alias(b_col),
+                        F.col(vec_col).alias("_vb")),
+            b_col,
+        )
+    )
 
 
 def _pair_cosine_arrow(
@@ -445,19 +456,8 @@ def _cosine_rerank_topk(
             .withColumn("cos", dot(F.col("qv"), F.col("nv")) / (F.col("_qn") * F.col("_nn")))
         )
     elif score_impl == "arrow":
-        vecs = emb.select(F.col(id_col), F.col(vec_col))
-        joined = (
-            cand.join(
-                vecs.select(F.col(id_col).alias("query_id"),
-                            F.col(vec_col).alias("_va")),
-                "query_id",
-            )
-            .join(
-                vecs.select(F.col(id_col).alias("neighbor_id"),
-                            F.col(vec_col).alias("_vb")),
-                "neighbor_id",
-            )
-        )
+        joined = _attach_pair_vectors(cand, emb, id_col, vec_col,
+                                      "query_id", "neighbor_id")
         scored = _pair_cosine_arrow(joined, "query_id", "neighbor_id")
     else:
         raise ValueError(f"score_impl must be 'arrow' or 'fold', got {score_impl!r}")
@@ -793,6 +793,7 @@ def ivf_pq_topk(
     refine: int = 8,
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k (Jégou et al., TPAMI'11, with the PQ
     stage the flat variant scopes out): IVF cells bound the candidate
@@ -841,9 +842,12 @@ def ivf_pq_topk(
     n_cells = centroids.shape[0]
     n_probes = min(n_probes, n_cells)
     if codebooks is None:
+        # n_rows (when the caller holds a materialized count) spares
+        # the sampler's threshold-sizing count() — a full-corpus scan
+        # per fit at 10^12 rows (ADVICE r6)
         codebooks = fit_pq_codebooks(
             emb, m_sub=m_sub, k_sub=k_sub, seed=pq_seed,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, n_rows=n_rows,
         )
     m_sub, k_sub, dsub = codebooks.shape
     cb = codebooks.astype(np.float64)

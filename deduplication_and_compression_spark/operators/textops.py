@@ -315,21 +315,36 @@ def bigram_jaccard_pairs(df: DataFrame, threshold_bp: int = 5000,
     # once per corpus, not once per plan branch (ADVICE r4)
     if freq is None:
         freq = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("_gf"))
-    # Dense COLLISION-FREE int64 token ids replace the bigram strings
+    # COLLISION-FREE int64 token ids replace the bigram strings
     # everywhere downstream (r7): the prefix self-join keys and the
     # verify array_intersect then run on longs instead of variable-
     # width strings — measured ~2x off the verify stage's CPU, the
     # dominant cost of this plan's worst regime.  A 64-bit HASH id
     # would collide at web-scale vocabularies (C(10^10,2)/2^64 > 1)
-    # and silently inflate intersections; monotonically_increasing_id
-    # is unique by construction, shuffle-free and sort-free.  The
-    # global token order becomes (_gf, _bid) — still ascending
-    # document frequency with deterministic ties, and the prefix-
-    # filter guarantee holds under ANY consistent global order, so
-    # the verified output is unchanged (tie-order only perturbs the
-    # candidate superset).
+    # and silently inflate intersections, and
+    # monotonically_increasing_id is not stable under partition
+    # recomputation (an evicted cache block rebuilt after executor
+    # loss could re-id the vocabulary mid-query — r7 code review), so
+    # the id is DERIVED FROM CONTENT: hash-bucket the vocabulary,
+    # rank within each bucket by the bigram itself, and interleave as
+    # _bid = (rank-1)·B + bucket — injective across buckets, fully
+    # deterministic, and the per-bucket sort touches ~|vocab|/B rows
+    # (O(vocab) total, never the corpus).  The global token order
+    # becomes (_gf, _bid) — still ascending document frequency with
+    # deterministic ties, and the prefix-filter guarantee holds under
+    # ANY consistent global order, so the verified output is
+    # unchanged (tie-order only perturbs the candidate superset).
+    from pyspark.sql import Window
+
+    B = 1 << 12
+    _w = Window.partitionBy("_bkt").orderBy("bigram")
     freqid = scoped_persist(
-        freq.select("bigram", "_gf", F.monotonically_increasing_id().alias("_bid"))
+        freq.withColumn("_bkt", F.pmod(F.xxhash64("bigram"), F.lit(B)))
+        .withColumn(
+            "_bid",
+            (F.row_number().over(_w) - F.lit(1)) * F.lit(B) + F.col("_bkt"),
+        )
+        .select("bigram", "_gf", "_bid")
     )
     # persisted: referenced three times (prefix explode + both sides of
     # the verify join-back) — unpersisted, each branch re-ran the

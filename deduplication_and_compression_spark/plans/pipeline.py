@@ -11,7 +11,12 @@ the config fingerprint, so any stage can resume mid-run
 
 Metrics mirror the reference's per-stage stopwatch report
 (/root/reference/App/Host.cpp:500-543): per-stage wall_ms, rows_out,
-plus per-partition row counts (lineage) for the key stages.
+plus per-partition row counts (lineage) for the key stages.  Since r7
+the four tier stages run CONCURRENTLY (see run_pipeline), so a tier
+stage's wall_ms includes cross-tier contention — compare tier walls
+only against other concurrent runs, or use the pipeline wall; the
+post-union stages (cc_labels onward) remain sequential and their
+walls attribute cleanly.
 """
 
 from __future__ import annotations

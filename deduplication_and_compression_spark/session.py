@@ -62,20 +62,30 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # fork Python workers from a daemon that has numpy/pandas/
-        # pyarrow and the engine kernels ALREADY imported (pydaemon.py):
-        # the first task wave of every Arrow UDF stage otherwise pays
-        # the imports once per worker — measured ~0.9 s off the first
-        # pandas stage of a fresh session at local[32], recurring per
-        # fresh executor on a cluster
-        .config(
-            "spark.python.daemon.module",
-            os.environ.get(
-                "SPARK_GRAFT_PY_DAEMON",
-                "deduplication_and_compression_spark.pydaemon",
-            ),
-        )
     )
+    # fork Python workers from a daemon that has numpy/pandas/pyarrow
+    # and the engine kernels ALREADY imported (pydaemon.py): the first
+    # task wave of every Arrow UDF stage otherwise pays the imports
+    # once per worker — measured ~0.9 s off the first pandas stage of
+    # a fresh session at local[32].  Guarded by find_spec: the daemon
+    # is launched as `python -m <module>` BEFORE any task ships
+    # py-files, so on an executor where the package is not installed
+    # the import would kill worker spawn outright (r7 code review) —
+    # this factory pins local[N] where driver importability == worker
+    # importability, but the guard keeps the conf safe to copy into a
+    # cluster submit.  SPARK_GRAFT_PY_DAEMON= (empty) disables.
+    import importlib.util
+
+    daemon_mod = os.environ.get(
+        "SPARK_GRAFT_PY_DAEMON", "deduplication_and_compression_spark.pydaemon"
+    )
+    if daemon_mod:
+        try:
+            spec = importlib.util.find_spec(daemon_mod)
+        except (ImportError, ModuleNotFoundError, ValueError):
+            spec = None
+        if spec is not None:
+            builder = builder.config("spark.python.daemon.module", daemon_mod)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

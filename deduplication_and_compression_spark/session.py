@@ -112,14 +112,20 @@ def _warmup_async(spark: SparkSession) -> None:
     def _run() -> None:
         try:
             from pyspark import inheritable_thread_target
-            from pyspark.sql import functions as F
+            from pyspark.sql import Window, functions as F
 
             @inheritable_thread_target
             def _go() -> None:
                 spark.sparkContext.setJobDescription("session warmup")
-                # codegen + shuffle + agg machinery
-                (spark.range(0, 256, 1, 8).repartition(4, "id")
-                 .groupBy((F.col("id") % 7).alias("k")).count()
+                # codegen + shuffle + agg + broadcast-join + window
+                base = spark.range(0, 256, 1, 8)
+                small = spark.range(0, 16).withColumnRenamed("id", "k")
+                (base.repartition(4, "id")
+                 .withColumn("k", F.col("id") % 7)
+                 .join(F.broadcast(small), "k")
+                 .groupBy("k").count()
+                 .withColumn("r", F.row_number().over(
+                     Window.partitionBy("k").orderBy("count")))
                  .write.format("noop").mode("overwrite").save())
                 # Arrow runner + Python worker daemon fork
                 import pandas as pd  # noqa: F401
@@ -131,6 +137,16 @@ def _warmup_async(spark: SparkSession) -> None:
 
                 (df.mapInPandas(_gen, df.schema)
                  .write.format("noop").mode("overwrite").save())
+                # parquet writer path (zstd codec + commit protocol):
+                # the pipeline's first checkpoint write otherwise JITs
+                # it inside the timed region
+                import shutil
+                import tempfile
+                d = tempfile.mkdtemp(prefix="spark_warmup_")
+                try:
+                    spark.range(0, 8, 1, 1).write.mode("overwrite").parquet(d)
+                finally:
+                    shutil.rmtree(d, ignore_errors=True)
                 spark.sparkContext.setJobDescription(None)
 
             _go()

@@ -60,6 +60,16 @@ def build_session(
         # is columnar zstd on every sink table
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # throughput collector for batch work: G1's pause-time goal
+        # buys nothing in a non-interactive engine, and under the
+        # r7 concurrent-tier pipeline ParallelGC measured ~10% off the
+        # warm pipeline wall (15.1 -> 13.6 s) with every other query
+        # neutral-or-better.  Parameterised for deployments that need
+        # G1 (very large heaps / pause-sensitive co-tenants).
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

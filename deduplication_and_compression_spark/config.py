@@ -50,6 +50,14 @@ class DedupConfig:
 
     # --- Connected components (§7 step 7) ---
     cc_max_iterations: int = 25
+    # Edge count at or below which connected_components solves the
+    # component structure on the driver with union-find instead of
+    # running O(log n) large-star/small-star shuffle rounds — the same
+    # size-gated distributed-vs-local decision as a broadcast-join
+    # threshold (≤250k edges = a few MB collected once; each avoided
+    # round costs 3 shuffles + 1 action of latency).  The distributed
+    # path is unchanged above the gate and for non-integral node ids.
+    cc_local_max_edges: int = 250_000
 
     # --- Verification invariants (BASELINE.json input_hint) ---
     psnr_threshold_db: float = 40.0

@@ -112,6 +112,53 @@ def connected_components(
     # inside the round plans (_symmetric/_dedup_pairs) — NEVER by
     # mutating session-global spark.sql.shuffle.partitions.
     n_edges = cur.count()
+    # SIZE-GATED LOCAL SOLVE (r7): at or below cfg.cc_local_max_edges
+    # the deduped edge set is a few MB — the same regime where Spark
+    # itself would broadcast a join side — and every star round still
+    # costs 3 shuffles + 1 driver action of latency.  Collect ONCE
+    # (Arrow path, reading the blocks the count() above already
+    # materialized), run union-find with min-id roots (bit-identical
+    # labels: attaching the larger root under the smaller keeps every
+    # root the component minimum, exactly the star fixpoint), and
+    # return a parallelized labels table.  Gated to integral ids and
+    # plain (UTF8_BINARY-collated) strings: Spark's default binary
+    # string order is byte order of UTF-8, which equals code-point
+    # order, which is exactly Python str comparison — so min() agrees
+    # across engines (any other collation's dtype string is not
+    # "string" and falls through).  Nulls cannot reach the solver: the
+    # a != b filter above drops null-endpoint rows.  Above the gate or
+    # for any other id type the distributed rounds below run
+    # unchanged.
+    id_dtype = dict(cur.dtypes)["a"]
+    if (n_edges <= cfg.cc_local_max_edges
+            and id_dtype in ("tinyint", "smallint", "int", "bigint", "string")):
+        import pandas as pd
+
+        pdf = cur.toPandas()
+        release_local_checkpoint(cur)
+        parent: dict = {}
+
+        def _find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+            ra, rb = _find(a), _find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        out = pd.DataFrame(
+            [(x, _find(x)) for x in parent], columns=["id", "cluster_id"]
+        )
+        return spark.createDataFrame(
+            out, schema=f"id {id_dtype}, cluster_id {id_dtype}"
+        )
     sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cc_parts = max(4, min(sess_parts, n_edges // 250_000 + 4))
     prev_sig = None

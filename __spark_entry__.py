@@ -485,7 +485,8 @@ def _q_ivf_topk_fitted(spark, sf):
 # IVF-PQ contract config: seed-derived coarse cells (same quantizer as
 # ivf_topk_embeddings), FITTED PQ codebooks (m_sub=8 subspaces of
 # dim 8, 16 codewords each — 8 small ints replace 64 floats in the
-# candidate shuffle), refine·k = 20 shortlist, exact re-rank.
+# candidate shuffle), refine·k = _PQ_REFINE·_SRP_K = 40 shortlist,
+# exact re-rank.
 _PQ_M, _PQ_KSUB, _PQ_SEED, _PQ_REFINE = 8, 16, 0x90_5EED, 8
 
 
